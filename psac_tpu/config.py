@@ -1,0 +1,53 @@
+"""Global tunables and dtype policy.
+
+The reference hard-codes these as magic numbers (SURVEY.md §5 "Config"):
+bucket-chaising threshold n/10 (reference ``include/suffix_array.hpp:424``),
+TLLT size budget 2^24 (``include/desa.hpp:83``), TLDT maxsize n/p/128
+(``include/tldt.hpp:426``). They are first-class config here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+# Index dtype policy: int32 while n (padded) fits, else int64.
+INT32_MAX = 2**31 - 1
+
+
+def index_dtype(n: int):
+    """Select the index dtype for a text of (padded) length ``n``.
+
+    Mirrors the reference's ``index_t`` template parameter
+    (``include/suffix_array.hpp:170``); int32 keeps sort keys and
+    collectives at half the HBM traffic of int64.
+    """
+    return jnp.int32 if n <= INT32_MAX else jnp.int64
+
+
+@dataclasses.dataclass(frozen=True)
+class SAConfig:
+    """Configuration of suffix-array construction.
+
+    Attributes:
+      construct_lcp: also build the LCP array, interleaved with doubling
+        (reference template flag ``_CONSTRUCT_LCP``).
+      construct_lc: also build the left-branching-character array Lc
+        (reference template flag ``_CONSTRUCT_LC``), needed by DESA.
+      k: initial k-mer length; 0 = auto (max chars that fit the sort key).
+      tail_threshold_frac: switch to the sparse "bucket chaising" tail when
+        unfinished elements < n * frac (reference uses 1/10,
+        ``suffix_array.hpp:424``).
+      tail_capacity_mult: padded capacity multiplier for the compacted
+        active set in the sparse tail.
+    """
+
+    construct_lcp: bool = True
+    construct_lc: bool = False
+    k: int = 0
+    tail_threshold_frac: float = 0.1
+    tail_capacity_mult: float = 1.25
+
+
+DEFAULT = SAConfig()

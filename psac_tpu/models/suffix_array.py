@@ -1,0 +1,288 @@
+"""Distributed suffix-array + LCP construction (the core of the framework).
+
+TPU-native re-design of the reference's ``suffix_array`` class
+(``include/suffix_array.hpp:170-1513``): k-mer initial ranking followed by
+prefix doubling, with the LCP array resolved incrementally via distributed
+bulk RMQs — but expressed as a host-staged loop of jitted SPMD steps over a
+1-D device mesh instead of MPI ranks:
+
+  * the text (encoded, 0-padded to N = p*s) is block-sharded; all per-element
+    state (ISA ranks, LCP) lives in (N,) sharded int32 arrays;
+  * "bucket id" keeps the reference's convention: 1-based global index of the
+    bucket's first element, 0 reserved for shifted-past-the-end
+    (``include/bucketing.hpp:59-63``);
+  * one doubling iteration = ppermute shift (B2 = ISA[i+d]) -> distributed
+    merge-split bitonic sort by (B, B2, i) -> segmented-max rebucket ->
+    scatter-by-sort SA->ISA, all inside one jit; the unfinished-bucket count
+    is the only host round trip and drives early exit;
+  * padding: the 0-sentinel padding suffixes are strictly smallest and occupy
+    SA[0 : N-n]; the real SA/LCP are the trailing n entries.
+
+The jit cache stays small: the shard-distance q = d // s selects the ppermute
+pattern (O(log p) distinct values); the in-iteration remainder is traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from psac_tpu import config as cfg_mod
+from psac_tpu.ops.alphabet import Alphabet
+from psac_tpu.ops.bitops import lcp_bitwise_pair
+from psac_tpu.ops.kmer import optimal_k, pack_kmers_local
+from psac_tpu.ops.rmq import INT32_INF, build_local_rmq
+from psac_tpu.parallel.collectives import (
+    global_cummax,
+    global_index_base,
+    global_shift_left,
+    halo_from_left,
+    halo_from_right,
+    shard_minima,
+)
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
+from psac_tpu.parallel.par_rmq import bulk_rmq_local
+from psac_tpu.parallel.route import route_scatter
+from psac_tpu.parallel.sort import dist_sort_local, scatter_by_index_local
+
+
+@dataclasses.dataclass
+class SuffixArray:
+    """Finished artifact: SA (and optionally LCP) of the input text."""
+
+    sa: np.ndarray
+    lcp: np.ndarray | None
+    alphabet: Alphabet
+    n: int
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+class _Builder:
+    """Holds the mesh geometry and the jitted construction steps."""
+
+    def __init__(self, mesh, N: int, n: int, k1: int, k2: int, bits: int, with_lcp: bool):
+        self.mesh = mesh
+        self.p = num_shards(mesh)
+        self.N = N
+        self.n = n
+        self.s = N // self.p
+        self.k1, self.k2, self.bits = k1, k2, bits
+        self.with_lcp = with_lcp
+        self.sharded = NamedSharding(mesh, P(AXIS))
+        self._step_cache: dict[int, object] = {}
+        self._resolve_cache: dict[int, object] = {}
+
+        shmap = functools.partial(jax.shard_map, mesh=mesh)
+        x = P(AXIS)
+        r = P()
+
+        n_out = 6 if not with_lcp else 10
+        self._init = jax.jit(shmap(
+            self._init_local,
+            in_specs=(x,),
+            out_specs=(x, x) + ((x,) if with_lcp else ()) + (r, r),
+        ))
+
+    # ---------------- init: k-mer ranking ----------------
+
+    def _init_local(self, codes_l):
+        s, p, N = self.s, self.p, self.N
+        k1, k2, bits = self.k1, self.k2, self.bits
+        halo = halo_from_right(codes_l, k1 + k2 - 1, p)
+        hi, lo = pack_kmers_local(jnp.concatenate([codes_l, halo]), s, k1, k2, bits)
+        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        # Padding suffixes (all-0 windows <=> hi == 0; real suffixes always
+        # have hi >= 1) are content-indistinguishable at any doubling
+        # distance, so give them their final ranks now: all-sentinel suffixes
+        # order by descending position (shorter-is-prefix rule), before every
+        # real suffix. Encode as a unique low key.
+        lo = jnp.where(hi == 0, jnp.int32(N) - gidx, lo)
+        hi_s, lo_s, sa = dist_sort_local((hi, lo, gidx), num_keys=3, p=p)
+        ph = halo_from_left(hi_s, 1, p, fill=-1)
+        pl = halo_from_left(lo_s, 1, p, fill=-1)
+        prev_hi = jnp.concatenate([ph, hi_s[:-1]])
+        prev_lo = jnp.concatenate([pl, lo_s[:-1]])
+        newb = (hi_s != prev_hi) | (lo_s != prev_lo)
+        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        outs = (isa_new, sa)
+        if self.with_lcp:
+            lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
+            lcp0 = jnp.where(newb, lcpv.astype(jnp.int32), jnp.int32(N))
+            # ranks 0..N-n-1 are the padding suffixes (zeros of length r+...):
+            # adjacent all-sentinel suffixes overlap in exactly r chars.
+            lcp0 = jnp.where(gidx < N - self.n, gidx, lcp0)
+            lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
+            outs = outs + (lcp0,)
+        return outs + counts
+
+    # ---------------- shared rebucket + SA->ISA ----------------
+
+    def _rebucket_and_isa(self, newb, gpos, sa):
+        """New bucket ids (1-based start-index convention) + ISA scatter + counts.
+
+        Reference ``rebucket`` (``include/bucketing.hpp:58-129``): boundary
+        marking with a one-element halo, segmented broadcast of the bucket
+        head index via a distributed max-scan, and the (buckets, elements)
+        unfinished counters that drive loop exit.
+        """
+        p, N = self.p, self.N
+        cand = jnp.where(newb, gpos + 1, 0).astype(jnp.int32)
+        b_new = global_cummax(cand, p)
+        nxt_halo = halo_from_right(newb, 1, p, fill=True)
+        nxt = jnp.concatenate([newb[1:], nxt_halo])
+        singleton = newb & nxt
+        tot_buckets = lax.psum(jnp.sum(newb.astype(jnp.int32)), AXIS)
+        tot_single = lax.psum(jnp.sum(singleton.astype(jnp.int32)), AXIS)
+        unfinished_buckets = tot_buckets - tot_single
+        unfinished_els = jnp.int32(N) - tot_single
+        (isa_new,) = scatter_by_index_local(sa, (b_new,), p)
+        return isa_new, (unfinished_buckets, unfinished_els)
+
+    # ---------------- one doubling iteration ----------------
+
+    def step(self, q: int):
+        """Jitted doubling step for static shard-distance q = d // s."""
+        if q not in self._step_cache:
+            x, r = P(AXIS), P()
+            lcp_outs = (x, x, x, x, r) if self.with_lcp else ()
+            fn = jax.shard_map(
+                functools.partial(self._step_local, q=q),
+                mesh=self.mesh,
+                in_specs=(x,) + ((x,) if self.with_lcp else ()) + (r,),
+                out_specs=(x, x) + lcp_outs + (r, r),
+            )
+            self._step_cache[q] = jax.jit(fn)
+        return self._step_cache[q]
+
+    def _step_local(self, isa_l, *rest, q: int):
+        s, p, N = self.s, self.p, self.N
+        if self.with_lcp:
+            lcp_l, d = rest
+        else:
+            (d,) = rest
+        b2 = global_shift_left(isa_l, d, q, p)
+        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
+        pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
+        pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
+        newb = (b_s != pb) | (b2_s != pb2)
+        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        if not self.with_lcp:
+            return (isa_new, sa) + counts
+
+        # --- LCP bookkeeping (reference resolve_next_lcp,
+        #     suffix_array.hpp:1444-1508): new splits inside an old bucket.
+        split = (b_s == pb) & (b2_s != pb2)
+        zerocase = split & ((pb2 == 0) | (b2_s == 0))
+        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(jnp.int32), lcp_l)
+        querycase = split & (pb2 != 0) & (b2_s != 0)
+        # range between the two old B2 buckets: 1-based ids lb < rb ->
+        # 0-based inclusive LCP range [lb, rb-1].
+        lq = jnp.minimum(pb2, b2_s)
+        rq = jnp.maximum(pb2, b2_s) - 1
+        nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
+        qkey = jnp.where(querycase, gidx, INT32_INF)
+        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + counts
+
+    # ---------------- LCP resolve (bulk RMQ + scatter) ----------------
+
+    def resolve(self, m_pad: int):
+        if m_pad not in self._resolve_cache:
+            x = P(AXIS)
+
+            def impl(lcp, qkey, lq, rq, d):
+                compact = jax.shard_map(
+                    lambda a, b, c: dist_sort_local((a, b, c), num_keys=1, p=self.p),
+                    mesh=self.mesh, in_specs=(x, x, x), out_specs=(x, x, x))
+                ks, ls, rs = compact(qkey, lq, rq)
+                ks = jax.sharding.reshard(ks[:m_pad], self.sharded)
+                ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
+                rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
+                solve = jax.shard_map(
+                    functools.partial(self._resolve_local),
+                    mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
+                return solve(lcp, ks, ls, rs, d)
+
+            self._resolve_cache[m_pad] = jax.jit(impl)
+        return self._resolve_cache[m_pad]
+
+    def _resolve_local(self, lcp_l, kq, lq, rq, d):
+        s, p = self.s, self.p
+        rmq = build_local_rmq(lcp_l)
+        smins = shard_minima(lcp_l, p)
+        valid = kq != INT32_INF
+        mins = bulk_rmq_local(rmq, smins, lq, rq, valid, s, p)
+        newval = (d.astype(jnp.int32) + mins)
+        (lcp_new,) = route_scatter(kq, (newval,), (lcp_l,), valid, s, p)
+        return lcp_new
+
+
+def build_suffix_array(text: bytes | np.ndarray, mesh=None,
+                       config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> SuffixArray:
+    """Construct the suffix array (and optionally LCP) of ``text`` on the mesh.
+
+    Host-staged equivalent of the reference's
+    ``suffix_array::construct`` (``include/suffix_array.hpp:365-486``).
+    """
+    mesh = mesh or make_mesh()
+    p = num_shards(mesh)
+    alpha = Alphabet.from_bytes(text)
+    codes = alpha.encode(text)
+    n = len(codes)
+    if n < 1:
+        return SuffixArray(sa=np.zeros(0, np.int64), lcp=np.zeros(0, np.int64) if config.construct_lcp else None,
+                           alphabet=alpha, n=0)
+    N = padded_size(n, p, multiple=8)
+    k1, k2 = optimal_k(alpha.bits_per_char)
+    if config.k:
+        k1 = min(k1, max(1, config.k // 2))
+        k2 = min(k2, max(1, config.k - k1))
+    k = k1 + k2
+    bits = alpha.bits_per_char
+
+    padded = np.zeros(N, np.int32)
+    padded[:n] = codes
+    sharded = block_sharding(mesh)
+    xs = jax.device_put(padded, sharded)
+
+    b = _Builder(mesh, N, n, k1, k2, bits, with_lcp=config.construct_lcp)
+    outs = b._init(xs)
+    if config.construct_lcp:
+        isa, sa, lcp, ub, ue = outs
+    else:
+        isa, sa, ub, ue = outs
+        lcp = None
+    ub = int(ub)
+
+    d = k
+    while ub > 0:
+        if d >= 2 * N:
+            raise AssertionError("doubling failed to converge")
+        q = d // b.s
+        if config.construct_lcp:
+            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(min(q, p))(isa, lcp, jnp.int32(d))
+            nq = int(nq)
+            if nq > 0:
+                m_pad = min(max(_pow2ceil(nq), p), N)
+                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
+        else:
+            isa, sa, ub, ue = b.step(min(q, p))(isa, jnp.int32(d))
+        ub = int(ub)
+        d *= 2
+
+    sa_np = np.asarray(jax.device_get(sa), dtype=np.int64)[N - n:]
+    lcp_np = None
+    if config.construct_lcp:
+        lcp_np = np.asarray(jax.device_get(lcp), dtype=np.int64)[N - n:]
+        if n > 0:
+            lcp_np[0] = 0
+    return SuffixArray(sa=sa_np, lcp=lcp_np, alphabet=alpha, n=n)

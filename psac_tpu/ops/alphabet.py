@@ -1,0 +1,70 @@
+"""Alphabet detection and encoding (host-side preprocessing).
+
+Equivalent of the reference's histogram-based ``alphabet`` class
+(``include/alphabet.hpp:72-348``): detect the set of distinct bytes, map them
+to dense codes ``1..sigma`` (0 is reserved for the end-of-text / padding
+sentinel, exactly as the reference reserves 0 for ``$``), and report
+``bits_per_char = ceillog2(sigma+1)``.
+
+This runs on the host over raw bytes before the text is sharded onto the
+mesh: it is O(n) streaming work that belongs on the CPU data path, and it
+keeps the device code free of byte-level table lookups.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from psac_tpu.ops.bitops import ceillog2
+
+
+@dataclasses.dataclass(frozen=True)
+class Alphabet:
+    """Dense alphabet over a byte string.
+
+    Attributes:
+      chars: sorted unique raw byte values present in the text.
+      mapping: (256,) uint8 table raw byte -> dense code in 1..sigma.
+      inverse: (sigma+1,) uint8 table dense code -> raw byte (index 0 unused).
+      bits_per_char: bits needed per encoded char incl. the 0 sentinel.
+    """
+
+    chars: np.ndarray
+    mapping: np.ndarray
+    inverse: np.ndarray
+    bits_per_char: int
+
+    @property
+    def sigma(self) -> int:
+        return len(self.chars)
+
+    @staticmethod
+    def from_bytes(data: bytes | np.ndarray) -> "Alphabet":
+        arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256)
+        chars = np.nonzero(hist)[0].astype(np.uint8)
+        if hist[0] > 0:
+            raise ValueError("input text must not contain NUL bytes (0 is the sentinel)")
+        mapping = np.zeros(256, dtype=np.uint8)
+        mapping[chars] = np.arange(1, len(chars) + 1, dtype=np.uint8)
+        inverse = np.zeros(len(chars) + 1, dtype=np.uint8)
+        inverse[1:] = chars
+        return Alphabet(chars=chars, mapping=mapping, inverse=inverse,
+                        bits_per_char=ceillog2(len(chars) + 1))
+
+    def encode(self, data: bytes | np.ndarray) -> np.ndarray:
+        """Encode raw bytes to dense int32 codes in 1..sigma."""
+        arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+        return self.mapping[arr].astype(np.int32)
+
+    def decode(self, codes: np.ndarray) -> bytes:
+        return self.inverse[np.asarray(codes)].tobytes()
+
+
+def rand_dna(n: int, seed: int = 0) -> bytes:
+    """Deterministic random DNA generator (test corpus helper, mirrors the
+    reference's ``rand_dna``, ``include/alphabet.hpp:32-45``)."""
+    rng = np.random.RandomState(seed)
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()

@@ -1,0 +1,94 @@
+"""Vectorized in-shard O(1)-query range-minimum structure.
+
+TPU-first reformulation of the reference's 3-level succinct RMQ
+(``include/rmq.hpp:37-339``): fixed-size blocks with per-block prefix/suffix
+minima, plus a doubling sparse table over the block minima. A batch of q
+queries is answered with O(1) vector lookups per query; ranges inside one
+block fall back to a masked window min (one (q, block) dynamic-slice gather).
+
+Memory: 3n + (n/block)·log(n/block) words — no O(n log n) table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+INT32_INF = jnp.iinfo(jnp.int32).max
+
+
+def block_size_for(s: int, cap: int = 128) -> int:
+    """Largest power-of-two divisor of s, capped (host-side)."""
+    b = s & (-s)  # lowest set bit = largest pow2 dividing s
+    return min(b, cap)
+
+
+@dataclasses.dataclass
+class LocalRMQ:
+    """Per-shard RMQ over a local (s,) int32 array."""
+
+    x: jax.Array          # (s,)
+    pref: jax.Array       # (s,) min over [block_start, i]
+    suff: jax.Array       # (s,) min over [i, block_end)
+    table: jax.Array      # (L, nb) sparse table over block minima; level 0 = block mins
+    block: int
+
+    @property
+    def s(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.table.shape[1]
+
+
+def build_local_rmq(x, block: int | None = None) -> LocalRMQ:
+    s = x.shape[0]
+    block = block or block_size_for(s)
+    nb = s // block
+    xb = x.reshape(nb, block)
+    pref = lax.cummin(xb, axis=1).reshape(s)
+    suff = lax.cummin(xb, axis=1, reverse=True).reshape(s)
+    levels = max(1, nb.bit_length())
+    rows = [xb.min(axis=1)]
+    for j in range(1, levels):
+        prev = rows[-1]
+        w = 1 << (j - 1)
+        shifted = jnp.concatenate([prev[w:], jnp.full((min(w, nb),), INT32_INF, prev.dtype)])[:nb]
+        rows.append(jnp.minimum(prev, shifted))
+    return LocalRMQ(x=x, pref=pref, suff=suff, table=jnp.stack(rows), block=block)
+
+
+def _floor_log2(v):
+    return (31 - lax.clz(jnp.maximum(v, 1).astype(jnp.int32))).astype(jnp.int32)
+
+
+def query_local_rmq(rmq: LocalRMQ, lo, hi):
+    """Vectorized min over inclusive local ranges [lo, hi], 0 <= lo <= hi < s.
+
+    lo, hi: (q,) int32. Returns (q,) int32 minima.
+    """
+    block, nb = rmq.block, rmq.nb
+    bl = lo // block
+    bh = hi // block
+    # --- same-block path: masked min over the block window
+    starts = (bl * block).astype(jnp.int32)
+    windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)  # (q, block)
+    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
+    in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
+    same_min = jnp.min(jnp.where(in_range, windows, INT32_INF), axis=1)
+    # --- cross-block path: suff[lo] /\ table-range(bl+1, bh-1) /\ pref[hi]
+    a = bl + 1
+    b = bh - 1
+    length = b - a + 1
+    lev = _floor_log2(length)
+    flat = rmq.table.reshape(-1)
+    t1 = flat[jnp.clip(lev * nb + a, 0, flat.shape[0] - 1)]
+    t2 = flat[jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat.shape[0] - 1)]
+    mid = jnp.where(length > 0, jnp.minimum(t1, t2), INT32_INF)
+    cross_min = jnp.minimum(jnp.minimum(rmq.suff[lo], rmq.pref[hi]), mid)
+    return jnp.where(bl == bh, same_min, cross_min)

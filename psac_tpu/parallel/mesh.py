@@ -1,0 +1,43 @@
+"""Mesh construction helpers.
+
+The framework shards every length-N array block-wise over a single mesh axis
+``AXIS`` — the TPU-native equivalent of the reference's ``mxx::blk_dist``
+block distribution (reference ``include/dvector.hpp:50-150``). Multi-dim
+physical meshes (hosts x chips) are flattened onto this one logical axis;
+collectives ride ICI within a host slice and DCN across, which XLA handles
+from the device order of the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "x"
+
+
+def make_mesh(num_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    p = num_devices or len(devs)
+    if p & (p - 1):
+        raise ValueError(f"device count {p} must be a power of two for the bitonic stages")
+    return jax.make_mesh((p,), (AXIS,), devices=np.asarray(devs[:p]))
+
+
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def num_shards(mesh: Mesh) -> int:
+    return mesh.shape[AXIS]
+
+
+def padded_size(n: int, p: int, multiple: int = 8) -> int:
+    """Global padded size: divisible by p and a lane-friendly multiple per shard."""
+    chunk = p * multiple
+    return ((n + chunk - 1) // chunk) * chunk

@@ -1,0 +1,118 @@
+"""Capacity-padded all-to-all routing (the ragged-all2allv / bulk_rma replacement).
+
+The reference routes irregular per-element messages with MPI's ragged
+``all2allv`` (``include/bulk_rma.hpp:13-135``, ``mxx::all2all_func``).
+SPMD/XLA requires static shapes, so routing here uses a *capacity-padded*
+exchange: each shard buckets its m records by destination shard into a
+(p, cap) buffer with cap = m (always sufficient: a shard can address at most
+m records to one destination), performs one ``lax.all_to_all``, computes
+answers at the owner, and reverses the exchange. Volume is p*m per shard, so
+callers chunk large batches (the construction driver does).
+
+All functions run inside shard_map over the 1-D mesh axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from psac_tpu.parallel.mesh import AXIS
+
+INT32_INF = jnp.iinfo(jnp.int32).max
+
+
+def _bucket_by_dest(dest, p: int):
+    """Stable-bucket local records by destination shard.
+
+    Returns (order, slot, flat_pos): record ``order[t]`` (original index) goes
+    to flat buffer position ``flat_pos[t] = dest_sorted[t]*cap + slot[t]``.
+    """
+    m = dest.shape[0]
+    order = jnp.argsort(dest, stable=True)
+    dsort = dest[order]
+    # slot within the destination bucket = position - start of the run
+    start = jnp.searchsorted(dsort, dsort, side="left")
+    slot = jnp.arange(m, dtype=jnp.int32) - start.astype(jnp.int32)
+    flat_pos = dsort.astype(jnp.int32) * m + slot
+    return order, dsort, flat_pos
+
+
+def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int):
+    """Round-trip routing: ship records to ``dest`` shards, apply, return answers.
+
+    Args:
+      payloads: tuple of (m,) local arrays (the record fields).
+      dest: (m,) destination shard of each record (int32, in [0, p)).
+      answer_fn: fn(received_payloads: tuple of (p*m,), valid: (p*m,) bool)
+        -> tuple of (p*m,) answers, evaluated on the owner shard.
+      out_dtypes: dtypes of the answers.
+    Returns:
+      tuple of (m,) answer arrays aligned with the original record order.
+    """
+    m = dest.shape[0]
+    order, dsort, flat_pos = _bucket_by_dest(dest, p)
+    buf_len = p * m
+
+    def to_buf(x, fill=0):
+        return jnp.full((buf_len,), fill, x.dtype).at[flat_pos].set(x[order])
+
+    sent = tuple(to_buf(x) for x in payloads)
+    sent_valid = jnp.zeros((buf_len,), jnp.bool_).at[flat_pos].set(True)
+
+    if p > 1:
+        recv = tuple(lax.all_to_all(x.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
+        recv_valid = lax.all_to_all(sent_valid.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
+    else:
+        recv, recv_valid = sent, sent_valid
+
+    answers = answer_fn(recv, recv_valid)
+    assert isinstance(answers, tuple)
+
+    if p > 1:
+        back = tuple(lax.all_to_all(a.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for a in answers)
+    else:
+        back = answers
+
+    # un-bucket: answer of original record order[t] sits at flat_pos[t]
+    outs = []
+    for a, dt in zip(back, out_dtypes):
+        picked = a[flat_pos]  # aligned with sorted order
+        outs.append(jnp.zeros((m,), dt).at[order].set(picked))
+    return tuple(outs)
+
+
+def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int):
+    """One-way scatter: targets[k][dest_idx[j] - shard_base] = values[k][j] at the owner.
+
+    ``dest_idx`` are *global* element indices; records with ``valid`` False are
+    dropped. Returns the updated target arrays (each (s,) local).
+    """
+    m = dest_idx.shape[0]
+    safe_idx = jnp.where(valid, dest_idx, 0)
+    dest = (safe_idx // s).astype(jnp.int32)
+    order, dsort, flat_pos = _bucket_by_dest(dest, p)
+    buf_len = p * m
+
+    def to_buf(x, fill=0):
+        return jnp.full((buf_len,), fill, x.dtype).at[flat_pos].set(x[order])
+
+    sent = (to_buf(safe_idx),) + tuple(to_buf(v) for v in values)
+    sent_valid = jnp.zeros((buf_len,), jnp.bool_).at[flat_pos].set(valid[order])
+
+    if p > 1:
+        recv = tuple(lax.all_to_all(x.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
+        recv_valid = lax.all_to_all(sent_valid.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
+    else:
+        recv, recv_valid = sent, sent_valid
+
+    base = lax.axis_index(AXIS).astype(jnp.int32) * s
+    loc = recv[0] - base
+    loc = jnp.where(recv_valid, loc, s)  # out-of-range drop slot
+    outs = []
+    for tgt, v in zip(targets, recv[1:]):
+        padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
+        padded = padded.at[loc].set(jnp.where(recv_valid, v, padded[loc]))
+        outs.append(padded[:s])
+    return tuple(outs)

@@ -1,0 +1,89 @@
+"""End-to-end suffix array + LCP conformance (3-tier oracle, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from psac_tpu.config import SAConfig
+from psac_tpu.models.suffix_array import build_suffix_array
+from psac_tpu.ops.alphabet import rand_dna
+from psac_tpu.ops.oracle import lcp_kasai, suffix_array_naive, suffix_array_np
+
+
+# golden: README example of the reference (README.md:88-101)
+MISSISSIPPI_SA = [10, 7, 4, 1, 0, 9, 8, 6, 3, 5, 2]
+MISSISSIPPI_LCP = [0, 1, 1, 4, 0, 0, 1, 0, 2, 1, 3]
+
+
+def check(text, mesh, lcp=True, k=0):
+    cfg = SAConfig(construct_lcp=lcp, k=k)
+    res = build_suffix_array(text, mesh=mesh, config=cfg)
+    want_sa = suffix_array_np(text)
+    np.testing.assert_array_equal(res.sa, want_sa, err_msg=f"SA mismatch n={len(text)}")
+    if lcp:
+        want_lcp = lcp_kasai(text, want_sa)
+        np.testing.assert_array_equal(res.lcp, want_lcp, err_msg=f"LCP mismatch n={len(text)}")
+    return res
+
+
+def test_oracles_agree():
+    t = b"mississippi"
+    np.testing.assert_array_equal(suffix_array_naive(t), MISSISSIPPI_SA)
+    np.testing.assert_array_equal(suffix_array_np(t), MISSISSIPPI_SA)
+    np.testing.assert_array_equal(lcp_kasai(t, np.array(MISSISSIPPI_SA)), MISSISSIPPI_LCP)
+
+
+def test_mississippi(mesh8):
+    res = check(b"mississippi", mesh8)
+    np.testing.assert_array_equal(res.sa, MISSISSIPPI_SA)
+    np.testing.assert_array_equal(res.lcp, MISSISSIPPI_LCP)
+
+
+def test_mississippi_single_device(mesh1):
+    res = check(b"mississippi", mesh1)
+    np.testing.assert_array_equal(res.sa, MISSISSIPPI_SA)
+
+
+@pytest.mark.parametrize("n", [13, 137, 1000, 4096])
+def test_random_dna(mesh8, n):
+    check(rand_dna(n, seed=n), mesh8)
+
+
+@pytest.mark.parametrize("n", [137, 1000])
+def test_random_dna_single_device(mesh1, n):
+    check(rand_dna(n, seed=n), mesh1)
+
+
+def test_small_k_forces_doubling(mesh8):
+    # tiny k means many doubling iterations and heavy RMQ resolution
+    check(rand_dna(700, seed=9), mesh8, k=2)
+    check(b"mississippi" * 30, mesh8, k=2)
+
+
+def test_repeats(mesh8):
+    check(b"a" * 200, mesh8)
+    check(b"ab" * 100, mesh8)
+    check(b"abc" * 67, mesh8)
+    check(b"banana$banana$banana$" * 10, mesh8)
+
+
+def test_byte_alphabet(mesh8):
+    rng = np.random.RandomState(123)
+    text = rng.randint(1, 256, size=777, dtype=np.uint8).tobytes()
+    check(text, mesh8)
+
+
+def test_english_like(mesh8):
+    text = (b"the quick brown fox jumps over the lazy dog. " * 40)
+    check(text, mesh8)
+
+
+def test_n_smaller_than_p(mesh8):
+    # n < p exercised like the reference's n<p tests (test_psac.cpp:114)
+    check(b"ab", mesh8)
+    check(b"x", mesh8)
+    check(b"baa", mesh8)
+
+
+def test_sa_only(mesh8):
+    res = check(rand_dna(500, seed=2), mesh8, lcp=False)
+    assert res.lcp is None
