@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: input bytes/s/chip for SA+LCP construction.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- Runs on the real TPU chip(s) available (power-of-two subset).
+- Correctness gate: SA and LCP byte-identical to the native SA-IS + Kasai
+  oracle (the reference's psac-vs-dss methodology, src/psac_vs_dss.cpp:110).
+- vs_baseline = our throughput / native sequential SA-IS+Kasai throughput on
+  this host (the divsufsort-class baseline; BASELINE.md records no published
+  reference numbers).
+
+Env knobs: PSAC_BENCH_N (default 2^24), PSAC_BENCH_CORPUS ("dna"|"bytes").
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("PSAC_BENCH_N", 1 << 24))
+    corpus = os.environ.get("PSAC_BENCH_CORPUS", "dna")
+
+    from psac_tpu.ops.alphabet import rand_dna
+    if corpus == "dna":
+        text = rand_dna(n, seed=42)
+    else:
+        rng = np.random.RandomState(42)
+        text = rng.randint(1, 256, size=n, dtype=np.uint8).tobytes()
+
+    # ---- native sequential baseline (SA-IS + Kasai), best of 2
+    from psac_tpu import native
+    base_t = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sa_ref = native.suffix_array(text)
+        lcp_ref = native.lcp_array(text, sa_ref)
+        base_t = min(base_t, time.time() - t0)
+    base_bps = n / base_t
+    log(f"baseline sais+kasai: {base_t:.2f}s ({base_bps/1e6:.2f} MB/s)")
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_psac"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from psac_tpu.models.suffix_array import construct_device, encode_and_shard
+    from psac_tpu.parallel.mesh import make_mesh
+
+    ndev = len(jax.devices())
+    p = 1 << (ndev.bit_length() - 1)  # largest power of two <= ndev
+    mesh = make_mesh(p)
+    log(f"devices: {jax.devices()} -> mesh of {p}")
+
+    # Timed region: device-resident input -> device-resident SA+LCP (the
+    # reference likewise keeps results distributed per rank, never gathered).
+    xs, alpha, n_, N = encode_and_shard(text, mesh)
+    construct_device(xs, alpha, n_, N, mesh).block_until_ready()  # warm-up/compile
+    t0 = time.time()
+    dres = construct_device(xs, alpha, n_, N, mesh).block_until_ready()
+    dt = time.time() - t0
+    bps = n / dt
+    log(f"psac_tpu SA+LCP: {dt:.2f}s ({bps/1e6:.2f} MB/s on {p} chip(s))")
+
+    res = dres.materialize()
+    ok = np.array_equal(res.sa, sa_ref) and np.array_equal(res.lcp, lcp_ref)
+    if not ok:
+        log("CORRECTNESS GATE FAILED: SA/LCP do not match the native oracle")
+        print(json.dumps({
+            "metric": "SA+LCP construction bytes/s/chip (FAILED correctness)",
+            "value": 0.0, "unit": "bytes/s/chip", "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+    log("correctness gate: SA+LCP identical to native SA-IS+Kasai oracle")
+
+    value = bps / p
+    print(json.dumps({
+        "metric": "SA+LCP construction throughput",
+        "value": round(value, 1),
+        "unit": "bytes/s/chip",
+        "vs_baseline": round(bps / base_bps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

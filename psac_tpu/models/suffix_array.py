@@ -62,6 +62,40 @@ class SuffixArray:
     n: int
 
 
+@dataclasses.dataclass
+class DeviceSuffixArray:
+    """Device-resident result, block-sharded over the mesh (like the
+    reference's per-rank distributed arrays — nothing is gathered).
+
+    ``sa``/``lcp``/``isa`` are (N,) padded: the first N-n SA entries are the
+    all-sentinel padding suffixes; real entries are the trailing n.
+    """
+
+    sa: jax.Array
+    lcp: jax.Array | None
+    isa: jax.Array
+    alphabet: Alphabet
+    n: int
+    N: int
+    mesh: object
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.sa)
+        # the experimental axon tunnel can return early from
+        # block_until_ready; a scalar readback is a reliable fence.
+        _ = int(self.sa[0])
+        return self
+
+    def materialize(self) -> SuffixArray:
+        sa_np = np.asarray(jax.device_get(self.sa), dtype=np.int64)[self.N - self.n:]
+        lcp_np = None
+        if self.lcp is not None:
+            lcp_np = np.asarray(jax.device_get(self.lcp), dtype=np.int64)[self.N - self.n:]
+            if self.n > 0:
+                lcp_np[0] = 0
+        return SuffixArray(sa=sa_np, lcp=lcp_np, alphabet=self.alphabet, n=self.n)
+
+
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
@@ -69,11 +103,10 @@ def _pow2ceil(x: int) -> int:
 class _Builder:
     """Holds the mesh geometry and the jitted construction steps."""
 
-    def __init__(self, mesh, N: int, n: int, k1: int, k2: int, bits: int, with_lcp: bool):
+    def __init__(self, mesh, N: int, k1: int, k2: int, bits: int, with_lcp: bool):
         self.mesh = mesh
         self.p = num_shards(mesh)
         self.N = N
-        self.n = n
         self.s = N // self.p
         self.k1, self.k2, self.bits = k1, k2, bits
         self.with_lcp = with_lcp
@@ -85,16 +118,15 @@ class _Builder:
         x = P(AXIS)
         r = P()
 
-        n_out = 6 if not with_lcp else 10
         self._init = jax.jit(shmap(
             self._init_local,
-            in_specs=(x,),
+            in_specs=(x, r),
             out_specs=(x, x) + ((x,) if with_lcp else ()) + (r, r),
         ))
 
     # ---------------- init: k-mer ranking ----------------
 
-    def _init_local(self, codes_l):
+    def _init_local(self, codes_l, n_real):
         s, p, N = self.s, self.p, self.N
         k1, k2, bits = self.k1, self.k2, self.bits
         halo = halo_from_right(codes_l, k1 + k2 - 1, p)
@@ -119,7 +151,7 @@ class _Builder:
             lcp0 = jnp.where(newb, lcpv.astype(jnp.int32), jnp.int32(N))
             # ranks 0..N-n-1 are the padding suffixes (zeros of length r+...):
             # adjacent all-sentinel suffixes overlap in exactly r chars.
-            lcp0 = jnp.where(gidx < N - self.n, gidx, lcp0)
+            lcp0 = jnp.where(gidx < jnp.int32(N) - n_real, gidx, lcp0)
             lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
             outs = outs + (lcp0,)
         return outs + counts
@@ -226,22 +258,36 @@ class _Builder:
         return lcp_new
 
 
-def build_suffix_array(text: bytes | np.ndarray, mesh=None,
-                       config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> SuffixArray:
-    """Construct the suffix array (and optionally LCP) of ``text`` on the mesh.
+_BUILDER_CACHE: dict[tuple, _Builder] = {}
 
-    Host-staged equivalent of the reference's
-    ``suffix_array::construct`` (``include/suffix_array.hpp:365-486``).
-    """
-    mesh = mesh or make_mesh()
+
+def _get_builder(mesh, N, k1, k2, bits, with_lcp) -> _Builder:
+    """Reuse builders (and their jitted steps) across construction calls."""
+    key = (id(mesh), N, k1, k2, bits, with_lcp)
+    if key not in _BUILDER_CACHE:
+        if len(_BUILDER_CACHE) > 64:
+            _BUILDER_CACHE.clear()
+        _BUILDER_CACHE[key] = _Builder(mesh, N, k1, k2, bits, with_lcp)
+    return _BUILDER_CACHE[key]
+
+
+def encode_and_shard(text: bytes | np.ndarray, mesh,
+                     config: cfg_mod.SAConfig = cfg_mod.DEFAULT):
+    """Host preprocessing: alphabet detection, encoding, pad + device_put."""
     p = num_shards(mesh)
     alpha = Alphabet.from_bytes(text)
     codes = alpha.encode(text)
     n = len(codes)
-    if n < 1:
-        return SuffixArray(sa=np.zeros(0, np.int64), lcp=np.zeros(0, np.int64) if config.construct_lcp else None,
-                           alphabet=alpha, n=0)
-    N = padded_size(n, p, multiple=8)
+    N = padded_size(max(n, 1), p, multiple=8)
+    padded = np.zeros(N, np.int32)
+    padded[:n] = codes
+    xs = jax.device_put(padded, block_sharding(mesh))
+    return xs, alpha, n, N
+
+
+def construct_device(xs, alpha, n: int, N: int, mesh,
+                     config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> DeviceSuffixArray:
+    """Run the construction loop; inputs/outputs stay device-resident."""
     k1, k2 = optimal_k(alpha.bits_per_char)
     if config.k:
         k1 = min(k1, max(1, config.k // 2))
@@ -249,13 +295,8 @@ def build_suffix_array(text: bytes | np.ndarray, mesh=None,
     k = k1 + k2
     bits = alpha.bits_per_char
 
-    padded = np.zeros(N, np.int32)
-    padded[:n] = codes
-    sharded = block_sharding(mesh)
-    xs = jax.device_put(padded, sharded)
-
-    b = _Builder(mesh, N, n, k1, k2, bits, with_lcp=config.construct_lcp)
-    outs = b._init(xs)
+    b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp)
+    outs = b._init(xs, jnp.int32(n))
     if config.construct_lcp:
         isa, sa, lcp, ub, ue = outs
     else:
@@ -267,22 +308,33 @@ def build_suffix_array(text: bytes | np.ndarray, mesh=None,
     while ub > 0:
         if d >= 2 * N:
             raise AssertionError("doubling failed to converge")
-        q = d // b.s
+        q = min(d // b.s, b.p)
         if config.construct_lcp:
-            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(min(q, p))(isa, lcp, jnp.int32(d))
+            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(q)(isa, lcp, jnp.int32(d))
             nq = int(nq)
             if nq > 0:
-                m_pad = min(max(_pow2ceil(nq), p), N)
+                m_pad = min(max(_pow2ceil(nq), b.p), N)
                 lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
         else:
-            isa, sa, ub, ue = b.step(min(q, p))(isa, jnp.int32(d))
+            isa, sa, ub, ue = b.step(q)(isa, jnp.int32(d))
         ub = int(ub)
         d *= 2
 
-    sa_np = np.asarray(jax.device_get(sa), dtype=np.int64)[N - n:]
-    lcp_np = None
-    if config.construct_lcp:
-        lcp_np = np.asarray(jax.device_get(lcp), dtype=np.int64)[N - n:]
-        if n > 0:
-            lcp_np[0] = 0
-    return SuffixArray(sa=sa_np, lcp=lcp_np, alphabet=alpha, n=n)
+    return DeviceSuffixArray(sa=sa, lcp=lcp, isa=isa, alphabet=alpha, n=n, N=N, mesh=mesh)
+
+
+def build_suffix_array(text: bytes | np.ndarray, mesh=None,
+                       config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> SuffixArray:
+    """Construct the suffix array (and optionally LCP) of ``text`` on the mesh.
+
+    Host-staged equivalent of the reference's
+    ``suffix_array::construct`` (``include/suffix_array.hpp:365-486``).
+    """
+    mesh = mesh or make_mesh()
+    if len(text) < 1:
+        alpha = Alphabet.from_bytes(text)
+        return SuffixArray(sa=np.zeros(0, np.int64),
+                           lcp=np.zeros(0, np.int64) if config.construct_lcp else None,
+                           alphabet=alpha, n=0)
+    xs, alpha, n, N = encode_and_shard(text, mesh, config)
+    return construct_device(xs, alpha, n, N, mesh, config).materialize()

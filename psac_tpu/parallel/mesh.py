@@ -38,6 +38,15 @@ def num_shards(mesh: Mesh) -> int:
 
 
 def padded_size(n: int, p: int, multiple: int = 8) -> int:
-    """Global padded size: divisible by p and a lane-friendly multiple per shard."""
+    """Global padded size: divisible by p, lane-friendly, and quantized.
+
+    Sizes are rounded up to quarter-power-of-two buckets (<= 25% padding) so
+    different input lengths share compiled steps — jit programs are keyed on
+    the padded shape.
+    """
     chunk = p * multiple
-    return ((n + chunk - 1) // chunk) * chunk
+    n = max(n, chunk)
+    # next bucket of the form m * 2^e with m in {4, 5, 6, 7}
+    e = max(0, n.bit_length() - 3)
+    bucket = -(-n >> e) << e  # ceil to multiple of 2^e
+    return ((bucket + chunk - 1) // chunk) * chunk
