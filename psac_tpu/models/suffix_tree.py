@@ -1,0 +1,149 @@
+"""Distributed suffix tree construction from SA+LCP (reference include/suffix_tree.hpp).
+
+The tree is the reference's flat representation: one potential internal node
+per LCP entry, sigma+1 child slots per node (slot 0 = the ``$`` edge);
+``nodes[i][c] = id`` of the child reached from internal node ``i`` by an
+edge whose label starts with character ``c``.  Node ids: internal node =
+its LCP index (root = 0), leaf for SA position j = ``n + j``.
+
+Parent edges are derived exactly as the reference's ``for_each_parent``
+(``include/suffix_tree.hpp:44-223``):
+
+  * leaf j: parent is the larger of LCP[j], LCP[j+1]; ties and the
+    left case use the left furthest_eq ANSV match when its value equals
+    LCP[j] (canonical duplicate), else node j itself;
+  * internal node i (LCP[i] > 0): parent is the ANSV match with the larger
+    LCP value (left furthest_eq wins ties); a node whose left match has an
+    *equal* value is a duplicate and emits no edge;
+  * each edge's child slot is the character at text[SA[i] + parent_depth]
+    (slot 0 past the end of the text).
+
+TPU-native pipeline: one distributed ANSV (``psac_tpu.parallel.ansv``),
+one bulk character gather, and one scatter of (parent, slot) -> child id
+into the block-sharded flat node table — all inside a single shard_map.
+Padding positions (the first N-n entries of the padded arrays) take LCP
+value -1 so they act as transparent sentinels and emit no edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from psac_tpu.models.suffix_array import DeviceSuffixArray, construct_device, encode_and_shard
+from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
+from psac_tpu.parallel.ansv import NONSV, ansv_local
+from psac_tpu.parallel.collectives import global_index_base, halo_from_right
+from psac_tpu.parallel.mesh import AXIS, make_mesh, num_shards
+from psac_tpu.parallel.route import route_apply, route_scatter
+
+
+@dataclasses.dataclass
+class DeviceSuffixTree:
+    """Block-sharded flat node table ((N * (sigma+1),) int32; padding rows unused)."""
+
+    nodes: jax.Array
+    sigma: int
+    n: int
+    N: int
+
+    def materialize(self) -> np.ndarray:
+        flat = np.asarray(jax.device_get(self.nodes), dtype=np.int64)
+        full = flat.reshape(self.N, self.sigma + 1)
+        return full[self.N - self.n:]
+
+
+def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
+    N = s * p
+    off = N - n
+    g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+    is_real = g >= off
+
+    lcp_adj = jnp.where(is_real, lcp_l, jnp.int32(-1))
+    lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
+
+    lidx, lval, ridx, rval = ansv_local(lcp_adj, s, p, FURTHEST_EQ, NEAREST_SM)
+
+    nxt = halo_from_right(lcp_adj, 1, p, fill=0)
+    lcp_next = jnp.concatenate([lcp_adj[1:], nxt])
+    # the globally last element always takes the left case (fill 0 <= lcp)
+    lcp_cur = lcp_adj
+
+    # ---- leaf edges (one per real position) -------------------------------
+    left_case = lcp_cur >= lcp_next
+    dup = (lval == lcp_cur) & (lidx != NONSV)
+    leaf_parent = jnp.where(left_case, jnp.where(dup, lidx, g), g + 1)
+    leaf_elcp = jnp.where(left_case, lcp_cur, lcp_next)
+    leaf_child = jnp.int32(n) + (g - off)
+    leaf_valid = is_real
+
+    # ---- internal-node edges ----------------------------------------------
+    use_left = (ridx == NONSV) | (lval >= rval)
+    int_parent = jnp.where(use_left, lidx, ridx)
+    int_elcp = jnp.where(use_left, lval, rval)
+    int_child = g - off
+    int_valid = is_real & (g > off) & (lcp_cur > 0) & (lval != lcp_cur)
+
+    parents = jnp.concatenate([leaf_parent, int_parent])
+    childs = jnp.concatenate([leaf_child, int_child])
+    elcp = jnp.concatenate([leaf_elcp, int_elcp])
+    savals = jnp.concatenate([sa_l, sa_l])
+    valid = jnp.concatenate([leaf_valid, int_valid])
+
+    # ---- first character of each edge (bulk gather from the text) ---------
+    char_idx = savals + elcp
+    dollar = char_idx >= n
+    safe_idx = jnp.clip(jnp.where(dollar, 0, char_idx), 0, N - 1)
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    dest = jnp.where(dollar, r, safe_idx // s)
+
+    def gather_char(recv, recv_valid):
+        (idx,) = recv
+        loc = jnp.clip(idx - r * s, 0, s - 1)
+        return (xs_l[loc],)
+
+    (ch,) = route_apply((safe_idx,), dest, gather_char, (jnp.int32,), p)
+    slot = jnp.where(dollar, 0, ch)
+
+    # ---- scatter child ids into the flat (N, sigma+1) node table ----------
+    width = sigma + 1
+    flat_dest = parents * jnp.int32(width) + slot
+    nodes = jnp.zeros((s * width,), jnp.int32)
+    (nodes,) = route_scatter(flat_dest, (childs,), (nodes,), valid, s * width, p)
+    return nodes
+
+
+_ST_CACHE: dict = {}
+
+
+def construct_suffix_tree_device(dsa: DeviceSuffixArray, xs, mesh) -> DeviceSuffixTree:
+    """Build the flat suffix tree from a device-resident SA+LCP and the
+    encoded padded text ``xs`` (as produced by ``encode_and_shard``)."""
+    if dsa.lcp is None:
+        raise ValueError("suffix tree construction requires the LCP array")
+    p = num_shards(mesh)
+    s = dsa.N // p
+    sigma = dsa.alphabet.sigma
+    key = (id(mesh), dsa.N, dsa.n, sigma)
+    if key not in _ST_CACHE:
+        fn = jax.shard_map(
+            functools.partial(_st_local, s=s, p=p, n=dsa.n, sigma=sigma),
+            mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS))
+        _ST_CACHE[key] = jax.jit(fn)
+    nodes = _ST_CACHE[key](dsa.lcp, dsa.sa, xs)
+    return DeviceSuffixTree(nodes=nodes, sigma=sigma, n=dsa.n, N=dsa.N)
+
+
+def build_suffix_tree(text: bytes | np.ndarray, mesh=None) -> np.ndarray:
+    """Host convenience: SA+LCP construction + suffix tree; returns the
+    (n, sigma+1) int64 node table (the reference's ``psac -t`` output)."""
+    mesh = mesh or make_mesh()
+    xs, alpha, n, N = encode_and_shard(text, mesh)
+    dsa = construct_device(xs, alpha, n, N, mesh)
+    return construct_suffix_tree_device(dsa, xs, mesh).materialize()

@@ -1,0 +1,259 @@
+"""Distributed All-Nearest-Smaller-Values over a block-sharded array.
+
+TPU-native redesign of the reference's generalized ANSV
+(``include/ansv.hpp:1304-1740``): instead of stack scans + lr_mins
+exchanges with 5 comm-pairing policies, every element resolves its match
+with
+
+  1. a *local* sparse-table walk inside its shard (``psac_tpu.ops.walk``),
+  2. a target-shard selection against the replicated per-shard minima
+     (one ``all_gather`` of p scalars; the shard minima play the role of
+     the reference's exchanged ``lr_mins`` prefix-minima sequences), and
+  3. at most two capacity-padded all-to-all query round trips
+     (``route_apply``) answered by owner-side walks.
+
+Match-type semantics (nearest_sm / nearest_eq / furthest_eq) are specified
+in ``psac_tpu.ops.ansv`` (the sequential oracle).  The right side is the
+left side on the block-reversed array (one ppermute), so only the left
+logic exists.
+
+All ``*_local`` functions run inside ``jax.shard_map`` over the mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM
+from psac_tpu.ops.walk import INT32_INF, build_min_table, next_leq, prev_lt
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
+from psac_tpu.parallel.route import route_apply
+
+NONSV = INT32_INF
+
+
+def _shard_last_lt(sm, v, lim, strict: bool):
+    """Largest shard t < lim with sm[t] < v (or <= v); -1 if none. v, lim: (q,)."""
+    p = sm.shape[0]
+    t = jnp.arange(p, dtype=jnp.int32)[None, :]
+    cmp = (sm[None, :] < v[:, None]) if strict else (sm[None, :] <= v[:, None])
+    ok = cmp & (t < lim[:, None])
+    return jnp.max(jnp.where(ok, t, -1), axis=1)
+
+
+def _shard_first_eq(sm, v, tlo, thi):
+    """Smallest shard t with tlo < t < thi and sm[t] == v; p if none."""
+    p = sm.shape[0]
+    t = jnp.arange(p, dtype=jnp.int32)[None, :]
+    ok = (sm[None, :] == v[:, None]) & (t > tlo[:, None]) & (t < thi[:, None])
+    return jnp.min(jnp.where(ok, t, p), axis=1)
+
+
+def _left_nearest(x, table, sm, s: int, p: int, strict: bool):
+    """nearest_sm (strict) / nearest_eq left matches; returns (gidx, value)."""
+    v = x
+    i_loc = jnp.arange(s, dtype=jnp.int32)
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    base = r * s
+    r_vec = jnp.full((s,), r, jnp.int32)
+
+    jl = prev_lt(table, i_loc, v, strict=strict)
+    found = jl >= 0
+    C = _shard_last_lt(sm, v, r_vec, strict)
+    dest = jnp.where(found | (C < 0), r, C)
+
+    def answer(recv, recv_valid):
+        (qv,) = recv
+        j = prev_lt(table, jnp.full_like(qv, s), qv, strict=strict)
+        ok = recv_valid & (j >= 0)
+        val = x[jnp.maximum(j, 0)]
+        return (jnp.where(ok, base + j, NONSV), jnp.where(ok, val, 0))
+
+    ridx, rval = route_apply((v,), dest, answer, (jnp.int32, jnp.int32), p)
+    idx = jnp.where(found, base + jl, jnp.where(C >= 0, ridx, NONSV))
+    val = jnp.where(found, x[jnp.maximum(jl, 0)], jnp.where(C >= 0, rval, 0))
+    return idx, val
+
+
+def _left_furthest_eq(x, table, sm, s: int, p: int):
+    """furthest_eq left matches; returns (gidx, value).
+
+    Three-stage resolution: (a) nearest strictly-smaller j* (local walk or
+    round-1 route; the owner also reports the leftmost *visible* occurrence
+    ``e_home`` of the matched run inside its shard and whether the run may
+    extend past the shard's left edge), (b) leftmost visible equal of the
+    query value between j* and i (local walk + shard-minima selection),
+    (c) if no equal exists, the leftmost visible member of j*'s run
+    (round-2 route when it extends into an earlier shard).
+    """
+    v = x
+    i_loc = jnp.arange(s, dtype=jnp.int32)
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    base = r * s
+    r_vec = jnp.full((s,), r, jnp.int32)
+
+    jstar = prev_lt(table, i_loc, v, strict=True)
+    has_loc = jstar >= 0
+    C = _shard_last_lt(sm, v, r_vec, strict=True)
+    has_rem = (~has_loc) & (C >= 0)
+    dest1 = jnp.where(has_rem, C, r)
+
+    def answer1(recv, recv_valid):
+        (qv,) = recv
+        j = prev_lt(table, jnp.full_like(qv, s), qv, strict=True)
+        jsafe = jnp.maximum(j, 0)
+        v2 = x[jsafe]
+        # leftmost visible member of j*'s run inside this shard, and whether
+        # the run reaches the shard's left edge (may extend further left)
+        j0 = prev_lt(table, jsafe + 1, v2, strict=True) + 1
+        e_home = next_leq(table, j0, v2)
+        # leftmost occurrence of the *query* value after j* (all elements in
+        # (j*, i) are >= qv, so the first <= qv is an equal and is visible)
+        e_after = next_leq(table, jsafe + 1, qv)
+        return (base + j, v2, base + jnp.minimum(e_home, s - 1),
+                (j0 == 0).astype(jnp.int32),
+                base + jnp.minimum(e_after, s - 1),
+                (e_after < s).astype(jnp.int32))
+
+    g1, v2_1, eh1, ext1, ea1, ea1_ok = route_apply(
+        (v,), dest1, answer1, (jnp.int32,) * 6, p)
+
+    # same run info computed locally for elements whose j* is in-shard
+    jsafe = jnp.maximum(jstar, 0)
+    v2_l = x[jsafe]
+    j0_l = prev_lt(table, jsafe + 1, v2_l, strict=True) + 1
+    eh_l = next_leq(table, j0_l, v2_l)
+
+    has_star = has_loc | has_rem
+    gstar = jnp.where(has_loc, base + jstar, g1)
+    v2 = jnp.where(has_loc, v2_l, v2_1)
+    e_home = jnp.where(has_loc, base + jnp.minimum(eh_l, s - 1), eh1)
+    extend = jnp.where(has_loc, j0_l == 0, ext1 != 0)
+    shard_g = jnp.where(has_star, gstar // s, -1)
+    # equal of v in shard(j*)'s suffix after a *remote* j*
+    e_after_ok = has_rem & (ea1_ok != 0)
+
+    # (b) leftmost equal of v in (j*, i): shard(j*) suffix (e_after), then
+    # whole shards strictly between (t_eq: any equal there is visible since
+    # every such shard has min >= v and one with min > v contains no equal),
+    # then the own-shard prefix (e_loc)
+    startpos = jnp.where(has_loc, jstar + 1, 0)
+    e_loc = next_leq(table, startpos, v)
+    e_loc_ok = e_loc < i_loc
+    t_eq = _shard_first_eq(sm, v, shard_g, r_vec)
+    t_eq_ok = t_eq < p
+
+    # (c) no equal of v anywhere: the match is the leftmost visible member
+    # of j*'s run.  It can sit in an earlier shard: either in t2 (smallest
+    # shard with min == v2 between the blocker C2 and shard(j*)) or in the
+    # suffix of the blocking shard C2 itself (after C2's last element < v2).
+    no_eq = ~(e_after_ok | t_eq_ok | e_loc_ok)
+    want_ext = no_eq & has_star & extend
+    C2 = _shard_last_lt(sm, v2, shard_g, strict=True)
+    t2 = _shard_first_eq(sm, v2, C2, shard_g)
+    want_c2 = want_ext & (C2 >= 0)
+    want_t2 = want_ext & (t2 < p)
+
+    # round 2, query A: equal-of-v shard (t_eq) or blocker-suffix (C2)
+    qval_a = jnp.where(t_eq_ok, v, v2)
+    dest_a = jnp.where(t_eq_ok, t_eq, jnp.where(want_c2, C2, r))
+    # round 2, query B: run-continuation shard t2
+    dest_b = jnp.where(want_t2, t2, r)
+
+    def answer2(recv, recv_valid):
+        # leftmost occurrence of qv after this shard's last element < qv
+        # (= the leftmost visible occurrence of qv; j0 == 0 when min == qv)
+        (qv,) = recv
+        j0 = prev_lt(table, jnp.full_like(qv, s), qv, strict=True) + 1
+        e = next_leq(table, j0, qv)
+        return (base + jnp.minimum(e, s - 1), (e < s).astype(jnp.int32))
+
+    e_a, e_a_ok = route_apply((qval_a,), dest_a, answer2, (jnp.int32,) * 2, p)
+    e_b, _ = route_apply((v2,), dest_b, answer2, (jnp.int32,) * 2, p)
+
+    ext_idx = jnp.where(want_c2 & (e_a_ok != 0), e_a,
+                        jnp.where(want_t2, e_b, e_home))
+    idx = jnp.where(
+        e_after_ok, ea1,
+        jnp.where(t_eq_ok, e_a,
+                  jnp.where(e_loc_ok, base + e_loc,
+                            jnp.where(has_star, jnp.where(extend, ext_idx, e_home),
+                                      NONSV))))
+    val = jnp.where(e_after_ok | t_eq_ok | e_loc_ok, v,
+                    jnp.where(has_star, v2, 0))
+    return idx, val
+
+
+def _left_match(x, s: int, p: int, typ: int):
+    table = build_min_table(x)
+    sm = lax.all_gather(jnp.min(x), AXIS)
+    if typ == FURTHEST_EQ:
+        return _left_furthest_eq(x, table, sm, s, p)
+    return _left_nearest(x, table, sm, s, p, strict=(typ == NEAREST_SM))
+
+
+def _reverse_dist(x, p: int):
+    """Reverse a block-distributed array (local reverse + shard-order flip)."""
+    rev = x[::-1]
+    if p == 1:
+        return rev
+    return lax.ppermute(rev, AXIS, [(i, p - 1 - i) for i in range(p)])
+
+
+def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int):
+    """Distributed ANSV inside shard_map.
+
+    Returns (lidx, lval, ridx, rval): global match indices (NONSV when no
+    match) and the array values at the matches.
+    """
+    lidx, lval = _left_match(x_l, s, p, left_type)
+    xr = _reverse_dist(x_l, p)
+    ridx_r, rval_r = _left_match(xr, s, p, right_type)
+    ridx_r = _reverse_dist(ridx_r, p)
+    rval = _reverse_dist(rval_r, p)
+    N = s * p
+    ridx = jnp.where(ridx_r == NONSV, NONSV, N - 1 - ridx_r)
+    return lidx, lval, ridx, rval
+
+
+_JIT_CACHE: dict = {}
+
+
+def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
+         mesh=None, nonsv: int | None = None):
+    """Distributed ANSV of a host array; returns (left, right) np.int64 indices.
+
+    Public equivalent of the reference's ``ansv<T, left, right, global_indexing>``
+    (``include/ansv.hpp:2042-2051``).  ``nonsv`` defaults to n (one past the
+    end), mirroring the caller-chosen sentinel of the reference.
+    """
+    mesh = mesh or make_mesh()
+    p = num_shards(mesh)
+    n = len(arr)
+    N = padded_size(max(n, 1), p)
+    xp = np.full(N, INT32_INF, np.int32)
+    xp[:n] = np.asarray(arr, np.int32)
+    xs = jax.device_put(xp, block_sharding(mesh))
+
+    key = (id(mesh), N, left_type, right_type)
+    if key not in _JIT_CACHE:
+        s = N // p
+        fn = jax.shard_map(
+            functools.partial(ansv_local, s=s, p=p,
+                              left_type=left_type, right_type=right_type),
+            mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS),) * 4)
+        _JIT_CACHE[key] = jax.jit(fn)
+    lidx, _, ridx, _ = _JIT_CACHE[key](xs)
+    sent = n if nonsv is None else nonsv
+    left = np.asarray(jax.device_get(lidx))[:n].astype(np.int64)
+    right = np.asarray(jax.device_get(ridx))[:n].astype(np.int64)
+    left[left == NONSV] = sent
+    # a right match pointing into the +inf padding means "no match"
+    right[(right == NONSV) | (right >= n)] = sent
+    return left, right

@@ -1,0 +1,92 @@
+"""ANSV: sequential oracle vs brute force; distributed vs oracle.
+
+Mirrors the reference's test matrix (test/test_ansv.cpp: all type combos x
+several input shapes x sizes), with equal-heavy inputs to stress the
+furthest_eq run semantics.
+"""
+
+import numpy as np
+import pytest
+
+from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM, NONSV, ansv_seq
+
+TYPES = [NEAREST_SM, NEAREST_EQ, FURTHEST_EQ]
+
+
+def brute_left(a, typ):
+    n = len(a)
+    out = np.full(n, NONSV, np.int64)
+    for i in range(n):
+        if typ == NEAREST_SM:
+            cand = [j for j in range(i) if a[j] < a[i]]
+            if cand:
+                out[i] = cand[-1]
+        elif typ == NEAREST_EQ:
+            cand = [j for j in range(i) if a[j] <= a[i]]
+            if cand:
+                out[i] = cand[-1]
+        else:  # FURTHEST_EQ
+            visible = [j for j in range(i)
+                       if (min(a[j + 1:i], default=a[j]) >= a[j]) and a[j] <= a[i]]
+            if visible:
+                vmax = max(a[j] for j in visible)
+                out[i] = min(j for j in visible if a[j] == vmax)
+    return out
+
+
+def inputs():
+    rng = np.random.RandomState(3)
+    yield "tiny", np.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], np.int32)
+    yield "equal-heavy", rng.randint(0, 4, size=200).astype(np.int32)
+    yield "uniform", rng.randint(0, 10**6, size=300).astype(np.int32)
+    yield "bitonic", np.concatenate([np.arange(100), np.arange(100)[::-1]]).astype(np.int32)
+    yield "const", np.full(64, 7, np.int32)
+
+
+@pytest.mark.parametrize("typ", TYPES)
+def test_oracle_vs_brute(typ):
+    for name, a in inputs():
+        want_l = brute_left(a, typ)
+        want_r = brute_left(a[::-1], typ)
+        n = len(a)
+        want_r = np.where(want_r == NONSV, NONSV, n - 1 - want_r)[::-1]
+        got_l, got_r = ansv_seq(a, typ, typ)
+        np.testing.assert_array_equal(got_l, want_l, err_msg=f"left {name}")
+        np.testing.assert_array_equal(got_r, want_r, err_msg=f"right {name}")
+
+
+@pytest.mark.parametrize("lt", TYPES)
+@pytest.mark.parametrize("rt", TYPES)
+def test_dist_vs_oracle_small(mesh8, lt, rt):
+    from psac_tpu.parallel.ansv import ansv
+    for name, a in inputs():
+        n = len(a)
+        want_l, want_r = ansv_seq(a, lt, rt, nonsv=n)
+        got_l, got_r = ansv(a, lt, rt, mesh=mesh8)
+        np.testing.assert_array_equal(got_l, want_l, err_msg=f"left {name}")
+        np.testing.assert_array_equal(got_r, want_r, err_msg=f"right {name}")
+
+
+@pytest.mark.parametrize("n", [13, 137, 1000, 26666])
+def test_dist_vs_oracle_sizes(mesh8, n):
+    from psac_tpu.parallel.ansv import ansv
+    rng = np.random.RandomState(n)
+    for a in [rng.randint(0, 5, size=n).astype(np.int32),
+              rng.randint(0, 10**7, size=n).astype(np.int32)]:
+        want_l, want_r = ansv_seq(a, FURTHEST_EQ, NEAREST_SM, nonsv=n)
+        got_l, got_r = ansv(a, FURTHEST_EQ, NEAREST_SM, mesh=mesh8)
+        np.testing.assert_array_equal(got_l, want_l)
+        np.testing.assert_array_equal(got_r, want_r)
+
+
+def test_furthest_eq_is_canonical(mesh8):
+    """The reference checker's property: a match's own left match is strictly
+    smaller (test/test_ansv.cpp:85-88) — matches are run-leftmost."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 6, size=500).astype(np.int32)
+    n = len(a)
+    left, _ = ansv_seq(a, FURTHEST_EQ, FURTHEST_EQ, nonsv=n)
+    for i in range(n):
+        s = left[i]
+        if s < n and left[s] < n:
+            assert a[left[s]] < a[s]
