@@ -22,3 +22,5 @@ See SURVEY.md for the structural map of the reference this re-implements.
 __version__ = "0.1.0"
 
 from psac_tpu.models.suffix_array import SuffixArray, build_suffix_array  # noqa: F401
+from psac_tpu.models.suffix_tree import build_suffix_tree  # noqa: F401
+from psac_tpu.models.desa import DESA, build_desa  # noqa: F401

@@ -1,0 +1,298 @@
+"""Generalized suffix array (+LCP) over string sets.
+
+TPU-native redesign of the reference's ``suffix_array::construct_ss``
+(``include/suffix_array.hpp:269-363``) and the ``gsac`` tool
+(``src/gsac.cpp``): all suffixes of all strings sorted together, each suffix
+ending at its own string's end (virtual ``$`` = 0 terminator), indices into
+the separator-removed concatenation (``src/gsac.cpp:58-84`` defines this
+output convention); equal suffixes of different strings tie in stable
+position order.
+
+Where the reference builds dist_seqs/split-bucket machinery with
+string-local shifts (``shift_buckets_ds``, ``include/shifting.hpp:374-418``)
+and GSA-specific rebucketing (``rebucket_gsa``, ``include/bucketing.hpp:131``),
+the flat TPU formulation needs only one extra block-sharded array
+``eos[i]`` = one-past-the-end of the string containing position i:
+
+  * doubling shift:   B2 = where(i + d < eos[i], ISA[i + d], 0)
+  * initial k-mers:   chars zero-masked past eos (window stays flat)
+  * initial LCP:      bitwise k-mer LCP capped by both suffixes' remaining
+                      lengths (the reference discounts ``$``-padding with
+                      trailing_zeros, ``suffix_array.hpp:1404-1441``)
+  * termination:      an element is settled when its (B, B2) pair is unique
+                      OR B2 == 0 — groups of identical whole suffixes can
+                      never split and are final (stable tie order)
+  * final LCP ties:   rows still carrying the sentinel after the loop are
+                      ties of identical suffixes; their LCP is the full
+                      suffix length (fixed in one host pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from psac_tpu import config as cfg_mod
+from psac_tpu.models.suffix_array import _Builder, _pow2ceil
+from psac_tpu.ops.alphabet import Alphabet
+from psac_tpu.ops.bitops import lcp_bitwise_pair
+from psac_tpu.ops.kmer import optimal_k
+from psac_tpu.parallel.collectives import (
+    global_index_base,
+    global_shift_left,
+    halo_from_left,
+    halo_from_right,
+)
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
+from psac_tpu.parallel.sort import dist_sort_local
+
+
+@dataclasses.dataclass
+class GeneralizedSuffixArray:
+    """GSA over a string set: positions index the separator-removed flat text."""
+
+    sa: np.ndarray
+    lcp: np.ndarray | None
+    alphabet: Alphabet
+    lens: np.ndarray      # per-string lengths
+    n: int
+
+    @property
+    def nstrings(self) -> int:
+        return len(self.lens)
+
+
+@dataclasses.dataclass
+class DeviceGSA:
+    """Device-resident GSA: (N,) padded block-sharded arrays (real rows are
+    the trailing n, as in ``DeviceSuffixArray``) plus the eos array and the
+    encoded flat text — the inputs the generalized suffix tree needs."""
+
+    sa: jax.Array
+    lcp: jax.Array | None
+    eos: jax.Array
+    xs: jax.Array
+    alphabet: Alphabet
+    lens: np.ndarray
+    n: int
+    N: int
+    mesh: object
+
+    def materialize(self) -> GeneralizedSuffixArray:
+        off = self.N - self.n
+        sa_np = np.asarray(jax.device_get(self.sa), np.int64)[off:]
+        lcp_np = None
+        if self.lcp is not None:
+            lcp_np = np.asarray(jax.device_get(self.lcp), np.int64)[off:]
+            if self.n > 0:
+                lcp_np[0] = 0
+        return GeneralizedSuffixArray(sa=sa_np, lcp=lcp_np,
+                                      alphabet=self.alphabet,
+                                      lens=self.lens, n=self.n)
+
+
+class _GsaBuilder(_Builder):
+    """Doubling builder threaded with the per-position eos array."""
+
+    def __init__(self, mesh, N, k1, k2, bits, with_lcp):
+        super().__init__(mesh, N, k1, k2, bits, with_lcp)
+        shmap = functools.partial(jax.shard_map, mesh=mesh)
+        x, r = P(AXIS), P()
+        self._init = jax.jit(shmap(
+            self._ginit_local,
+            in_specs=(x, x),
+            out_specs=(x, x) + ((x,) if with_lcp else ()) + (r, r)))
+
+    # ---------------- init: masked k-mer ranking ----------------
+
+    def _ginit_local(self, codes_l, eos_l):
+        s, p, N = self.s, self.p, self.N
+        k1, k2, bits = self.k1, self.k2, self.bits
+        halo = halo_from_right(codes_l, k1 + k2 - 1, p)
+        win = jnp.concatenate([codes_l, halo])
+        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        hi = jnp.zeros((s,), jnp.int32)
+        for j in range(k1):
+            c = jnp.where(gidx + j < eos_l, win[j:j + s], 0)
+            hi = (hi << bits) | c
+        lo = jnp.zeros((s,), jnp.int32)
+        for j in range(k1, k1 + k2):
+            c = jnp.where(gidx + j < eos_l, win[j:j + s], 0)
+            lo = (lo << bits) | c
+        rem = eos_l - gidx
+        # padding rows (hi == 0: only all-past-end windows; real suffixes
+        # start with a char >= 1): unique final ranks before all real rows
+        lo = jnp.where(hi == 0, jnp.int32(N) - gidx, lo)
+        hi_s, lo_s, sa, rem_s = dist_sort_local((hi, lo, gidx, rem), num_keys=3, p=p)
+        ph = halo_from_left(hi_s, 1, p, fill=-1)
+        pl = halo_from_left(lo_s, 1, p, fill=-1)
+        pr = halo_from_left(rem_s, 1, p, fill=0)
+        prev_hi = jnp.concatenate([ph, hi_s[:-1]])
+        prev_lo = jnp.concatenate([pl, lo_s[:-1]])
+        prev_rem = jnp.concatenate([pr, rem_s[:-1]])
+        newb = (hi_s != prev_hi) | (lo_s != prev_lo)
+        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        outs = (isa_new, sa)
+        if self.with_lcp:
+            lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
+            lcpv = jnp.minimum(jnp.minimum(lcpv.astype(jnp.int32), prev_rem), rem_s)
+            lcp0 = jnp.where(newb, lcpv, jnp.int32(N))
+            lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
+            outs = outs + (lcp0,)
+        return outs + counts
+
+    # ---------------- one doubling iteration ----------------
+
+    def step(self, q: int):
+        if q not in self._step_cache:
+            x, r = P(AXIS), P()
+            lcp_outs = (x, x, x, x, r) if self.with_lcp else ()
+            fn = jax.shard_map(
+                functools.partial(self._gstep_local, q=q),
+                mesh=self.mesh,
+                in_specs=(x, x) + ((x,) if self.with_lcp else ()) + (r,),
+                out_specs=(x, x) + lcp_outs + (r, r))
+            self._step_cache[q] = jax.jit(fn)
+        return self._step_cache[q]
+
+    def _gstep_local(self, isa_l, eos_l, *rest, q: int):
+        s, p, N = self.s, self.p, self.N
+        if self.with_lcp:
+            lcp_l, d = rest
+        else:
+            (d,) = rest
+        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        b2 = global_shift_left(isa_l, d, q, p)
+        b2 = jnp.where(gidx + d < eos_l, b2, 0)
+        b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
+        pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
+        pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
+        newb = (b_s != pb) | (b2_s != pb2)
+        isa_new, _ = self._rebucket_and_isa(newb, gidx, sa)
+        # GSA termination: settled = unique (B, B2) pair or fully-ended
+        # suffix group (B2 == 0 ties can never split; their order is final)
+        nxt_halo = halo_from_right(newb, 1, p, fill=True)
+        nxt = jnp.concatenate([newb[1:], nxt_halo])
+        settled = (newb & nxt) | (b2_s == 0)
+        ue = jnp.int32(N) - lax.psum(jnp.sum(settled.astype(jnp.int32)), AXIS)
+        counts = (ue, ue)
+        if not self.with_lcp:
+            return (isa_new, sa) + counts
+        from psac_tpu.ops.rmq import INT32_INF
+        split = (b_s == pb) & (b2_s != pb2)
+        zerocase = split & ((pb2 == 0) | (b2_s == 0))
+        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(jnp.int32), lcp_l)
+        querycase = split & (pb2 != 0) & (b2_s != 0)
+        lq = jnp.minimum(pb2, b2_s)
+        rq = jnp.maximum(pb2, b2_s) - 1
+        nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
+        qkey = jnp.where(querycase, gidx, INT32_INF)
+        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + counts
+
+
+_GSA_BUILDER_CACHE: dict = {}
+
+
+def _flatten(strings) -> tuple[bytes, np.ndarray]:
+    if isinstance(strings, (bytes, bytearray)):
+        parts = [x for x in bytes(strings).split(b"\n") if x]
+    else:
+        parts = [bytes(x) for x in strings if len(x)]
+    lens = np.array([len(x) for x in parts], np.int64)
+    return b"".join(parts), lens
+
+
+def _lcp_tiefix_local(lcp_l, sa_l, eos_l, *, s: int, p: int, N: int):
+    """Sentinel LCP rows (never-split groups of identical whole suffixes):
+    LCP = the suffix's full length = eos[SA[g]] - SA[g]."""
+    from psac_tpu.parallel.route import route_apply
+
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    dest = jnp.clip(sa_l, 0, N - 1) // s
+
+    def gather(recv, recv_valid):
+        (q,) = recv
+        return (eos_l[jnp.clip(q - r * s, 0, s - 1)],)
+
+    (eos_at_sa,) = route_apply((sa_l,), dest, gather, (jnp.int32,), p)
+    return jnp.where(lcp_l == N, eos_at_sa - sa_l, lcp_l)
+
+
+def build_gsa_device(strings, mesh=None,
+                     config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> DeviceGSA:
+    """GSA (+GLCP) of a string set (list of byte strings, or one
+    newline-separated flat byte string as the reference's ``gsac -f``);
+    results stay device-resident."""
+    mesh = mesh or make_mesh()
+    p = num_shards(mesh)
+    flat, lens = _flatten(strings)
+    n = len(flat)
+    alpha = Alphabet.from_bytes(flat)
+    codes = alpha.encode(flat)
+    N = padded_size(max(n, 1), p, multiple=8)
+    padded = np.zeros(N, np.int32)
+    padded[:n] = codes
+    eos_np = np.arange(N, dtype=np.int32)
+    eos_np[:n] = np.repeat(np.cumsum(lens), lens).astype(np.int32)
+    xs = jax.device_put(padded, block_sharding(mesh))
+    eos = jax.device_put(eos_np, block_sharding(mesh))
+
+    k1, k2 = optimal_k(alpha.bits_per_char)
+    key = (id(mesh), N, k1, k2, alpha.bits_per_char, config.construct_lcp)
+    if key not in _GSA_BUILDER_CACHE:
+        if len(_GSA_BUILDER_CACHE) > 64:
+            _GSA_BUILDER_CACHE.clear()
+        _GSA_BUILDER_CACHE[key] = _GsaBuilder(
+            mesh, N, k1, k2, alpha.bits_per_char, config.construct_lcp)
+    b = _GSA_BUILDER_CACHE[key]
+
+    outs = b._init(xs, eos)
+    if config.construct_lcp:
+        isa, sa, lcp, ub, ue = outs
+    else:
+        isa, sa, ub, ue = outs
+        lcp = None
+    ue = int(ue)
+
+    d = k1 + k2
+    while ue > 0:
+        if d >= 2 * N:
+            raise AssertionError("GSA doubling failed to converge")
+        qd = min(d // b.s, b.p)
+        if config.construct_lcp:
+            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(qd)(isa, eos, lcp, jnp.int32(d))
+            nq = int(nq)
+            if nq > 0:
+                m_pad = min(max(_pow2ceil(nq), b.p), N)
+                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
+        else:
+            isa, sa, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
+        ue = int(ue)
+        d *= 2
+
+    if config.construct_lcp:
+        fix = jax.jit(jax.shard_map(
+            functools.partial(_lcp_tiefix_local, s=b.s, p=p, N=N),
+            mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS)))
+        lcp = fix(lcp, sa, eos)
+
+    return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
+                     lens=lens, n=n, N=N, mesh=mesh)
+
+
+def build_gsa(strings, mesh=None,
+              config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> GeneralizedSuffixArray:
+    """Host-facing GSA construction (the reference's ``gsac`` output)."""
+    flat, lens = _flatten(strings)
+    if len(flat) == 0:
+        return GeneralizedSuffixArray(
+            sa=np.zeros(0, np.int64),
+            lcp=np.zeros(0, np.int64) if config.construct_lcp else None,
+            alphabet=Alphabet.from_bytes(flat), lens=lens, n=0)
+    return build_gsa_device(strings, mesh, config).materialize()

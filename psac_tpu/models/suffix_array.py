@@ -258,6 +258,48 @@ class _Builder:
         return lcp_new
 
 
+def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int):
+    """Lc[g] = text[SA[g-1] + LCP[g]] (0 past the end / at the first row)."""
+    from psac_tpu.parallel.route import route_apply
+
+    N = s * p
+    off = N - n
+    g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+    prev = jnp.concatenate([halo_from_left(sa_l, 1, p, fill=0), sa_l[:-1]])
+    idx = prev + lcp_l
+    real = (g > off) & (idx < n)
+    safe = jnp.clip(jnp.where(real, idx, 0), 0, N - 1)
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    dest = jnp.where(real, safe // s, r)
+
+    def gather(recv, recv_valid):
+        (q,) = recv
+        return (xs_l[jnp.clip(q - r * s, 0, s - 1)],)
+
+    (ch,) = route_apply((safe,), dest, gather, (jnp.int32,), p)
+    return jnp.where(real, ch, 0)
+
+
+_LC_CACHE: dict = {}
+
+
+def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
+    """Left-branching-character array (reference ``_CONSTRUCT_LC``;
+    ``include/seq_query.hpp:463-467``: Lc[i] = S[SA[i-1]+LCP[i]]), computed
+    post-hoc as one bulk gather instead of interleaved with doubling.
+    Returns the (N,) block-sharded padded array (codes, 0 = none/$)."""
+    if dsa.lcp is None:
+        raise ValueError("Lc requires the LCP array")
+    p = num_shards(dsa.mesh)
+    key = (id(dsa.mesh), dsa.N, dsa.n)
+    if key not in _LC_CACHE:
+        fn = jax.shard_map(
+            functools.partial(_lc_local, s=dsa.N // p, p=p, n=dsa.n),
+            mesh=dsa.mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS))
+        _LC_CACHE[key] = jax.jit(fn)
+    return _LC_CACHE[key](dsa.lcp, dsa.sa, xs)
+
+
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 

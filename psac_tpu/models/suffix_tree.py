@@ -59,7 +59,12 @@ class DeviceSuffixTree:
         return full[self.N - self.n:]
 
 
-def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
+def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int):
+    """Shared `for_each_parent` computation (leaf + internal edges).
+
+    Returns per-edge (parents [padded coords], childs [node ids], elcp
+    [parent depth], savals, valid), each of length 2s (leaf block then
+    internal block)."""
     N = s * p
     off = N - n
     g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
@@ -95,20 +100,31 @@ def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
     elcp = jnp.concatenate([leaf_elcp, int_elcp])
     savals = jnp.concatenate([sa_l, sa_l])
     valid = jnp.concatenate([leaf_valid, int_valid])
+    return parents, childs, elcp, savals, valid
+
+
+def _gather_from(arr_l, idx, valid, s: int, p: int):
+    """Bulk gather arr[idx] from a block-sharded array (invalid -> 0)."""
+    N = s * p
+    r = lax.axis_index(AXIS).astype(jnp.int32)
+    safe = jnp.clip(jnp.where(valid, idx, 0), 0, N - 1)
+    dest = jnp.where(valid, safe // s, r)
+
+    def gather(recv, recv_valid):
+        (q,) = recv
+        return (arr_l[jnp.clip(q - r * s, 0, s - 1)],)
+
+    (out,) = route_apply((safe,), dest, gather, (jnp.int32,), p)
+    return jnp.where(valid, out, 0)
+
+
+def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
+    parents, childs, elcp, savals, valid = _parent_edges(lcp_l, sa_l, s, p, n)
 
     # ---- first character of each edge (bulk gather from the text) ---------
     char_idx = savals + elcp
     dollar = char_idx >= n
-    safe_idx = jnp.clip(jnp.where(dollar, 0, char_idx), 0, N - 1)
-    r = lax.axis_index(AXIS).astype(jnp.int32)
-    dest = jnp.where(dollar, r, safe_idx // s)
-
-    def gather_char(recv, recv_valid):
-        (idx,) = recv
-        loc = jnp.clip(idx - r * s, 0, s - 1)
-        return (xs_l[loc],)
-
-    (ch,) = route_apply((safe_idx,), dest, gather_char, (jnp.int32,), p)
+    ch = _gather_from(xs_l, char_idx, valid & ~dollar, s, p)
     slot = jnp.where(dollar, 0, ch)
 
     # ---- scatter child ids into the flat (N, sigma+1) node table ----------
@@ -116,6 +132,41 @@ def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
     flat_dest = parents * jnp.int32(width) + slot
     nodes = jnp.zeros((s * width,), jnp.int32)
     (nodes,) = route_scatter(flat_dest, (childs,), (nodes,), valid, s * width, p)
+    return nodes
+
+
+def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int):
+    """Generalized suffix tree node table (reference ``construct_gst``,
+    ``include/suffix_tree.hpp:521-608``): sigma+2 slots per node; slots 0-1
+    hold the (min, max) child-id range of all ``$``-edges (one string may
+    end per leaf, many per node); root-depth edges (lcp 0) are not recorded
+    (reference drops ``root_edges``, suffix_tree.hpp:546-552)."""
+    parents, childs, elcp, savals, valid = _parent_edges(lcp_l, sa_l, s, p, n)
+    width = sigma + 2
+    INF = jnp.iinfo(jnp.int32).max
+
+    eos_at = _gather_from(eos_l, savals, valid, s, p)
+    char_idx = savals + elcp
+    dollar = char_idx >= eos_at
+    rootdrop = elcp == 0
+    valid_reg = valid & ~dollar & ~rootdrop
+    valid_dlr = valid & dollar & ~rootdrop
+
+    ch = _gather_from(xs_l, char_idx, valid_reg, s, p)
+
+    nodes = jnp.zeros((s * width,), jnp.int32)
+    idx0 = jnp.arange(s, dtype=jnp.int32) * width
+    nodes = nodes.at[idx0].set(INF)  # slot 0 accumulates a min
+
+    flat_reg = parents * jnp.int32(width) + ch + 1
+    (nodes,) = route_scatter(flat_reg, (childs,), (nodes,), valid_reg,
+                             s * width, p)
+    flat_d0 = parents * jnp.int32(width)
+    (nodes,) = route_scatter(flat_d0, (childs,), (nodes,), valid_dlr,
+                             s * width, p, combine=("min",))
+    (nodes,) = route_scatter(flat_d0 + 1, (childs,), (nodes,), valid_dlr,
+                             s * width, p, combine=("max",))
+    nodes = nodes.at[idx0].set(jnp.where(nodes[idx0] == INF, 0, nodes[idx0]))
     return nodes
 
 
@@ -147,3 +198,34 @@ def build_suffix_tree(text: bytes | np.ndarray, mesh=None) -> np.ndarray:
     xs, alpha, n, N = encode_and_shard(text, mesh)
     dsa = construct_device(xs, alpha, n, N, mesh)
     return construct_suffix_tree_device(dsa, xs, mesh).materialize()
+
+
+_GST_CACHE: dict = {}
+
+
+def construct_gst_device(dgsa) -> DeviceSuffixTree:
+    """Generalized suffix tree from a device-resident GSA (+GLCP)."""
+    if dgsa.lcp is None:
+        raise ValueError("GST construction requires the GLCP array")
+    mesh = dgsa.mesh
+    p = num_shards(mesh)
+    s = dgsa.N // p
+    sigma = dgsa.alphabet.sigma
+    key = (id(mesh), dgsa.N, dgsa.n, sigma)
+    if key not in _GST_CACHE:
+        fn = jax.shard_map(
+            functools.partial(_gst_local, s=s, p=p, n=dgsa.n, sigma=sigma),
+            mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=P(AXIS))
+        _GST_CACHE[key] = jax.jit(fn)
+    nodes = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
+    return DeviceSuffixTree(nodes=nodes, sigma=sigma + 1, n=dgsa.n, N=dgsa.N)
+
+
+def build_gst(strings, mesh=None) -> np.ndarray:
+    """Host convenience: GSA construction + generalized suffix tree; returns
+    the (n, sigma+2) int64 node table."""
+    from psac_tpu.models.gsa import build_gsa_device
+
+    mesh = mesh or make_mesh()
+    dgsa = build_gsa_device(strings, mesh=mesh)
+    return construct_gst_device(dgsa).materialize()

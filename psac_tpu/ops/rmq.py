@@ -92,3 +92,102 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     mid = jnp.where(length > 0, jnp.minimum(t1, t2), INT32_INF)
     cross_min = jnp.minimum(jnp.minimum(rmq.suff[lo], rmq.pref[hi]), mid)
     return jnp.where(bl == bh, same_min, cross_min)
+
+
+# ---------------------------------------------------------------------------
+# argmin-carrying variant (leftmost index of the minimum)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ArgLocalRMQ:
+    """Per-shard RMQ returning the *leftmost argmin* index — what tree
+    walks need (the reference's ``rmq::query`` returns an iterator to the
+    min element; the blind search relies on scanning children left to
+    right, reference ``include/seq_query.hpp:471-501``)."""
+
+    x: jax.Array
+    pref_v: jax.Array
+    pref_a: jax.Array
+    suff_v: jax.Array
+    suff_a: jax.Array
+    tab_v: jax.Array   # (L, nb)
+    tab_a: jax.Array   # (L, nb)
+    block: int
+
+    @property
+    def nb(self) -> int:
+        return self.tab_v.shape[1]
+
+
+def _argmin_op(a, b):
+    """Associative+commutative leftmost-min combine on (value, index) pairs:
+    ties break on the smaller index, so operand order never matters (the
+    reverse scan passes operands in flipped order)."""
+    av, ai = a
+    bv, bi = b
+    take_b = (bv < av) | ((bv == av) & (bi < ai))
+    return (jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai))
+
+
+def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
+    s = x.shape[0]
+    block = block or block_size_for(s)
+    nb = s // block
+    xb = x.reshape(nb, block)
+    idx = jnp.arange(s, dtype=jnp.int32).reshape(nb, block)
+    pref_v, pref_a = lax.associative_scan(_argmin_op, (xb, idx), axis=1)
+    suff_v, suff_a = lax.associative_scan(_argmin_op, (xb, idx), axis=1,
+                                          reverse=True)
+    rows_v = [xb.min(axis=1)]
+    rows_a = [(jnp.arange(nb, dtype=jnp.int32) * block
+               + jnp.argmin(xb, axis=1).astype(jnp.int32))]
+    levels = max(1, nb.bit_length())
+    for j in range(1, levels):
+        w = 1 << (j - 1)
+        pv, pa = rows_v[-1], rows_a[-1]
+        if w >= nb:
+            rows_v.append(pv)
+            rows_a.append(pa)
+            continue
+        sv = jnp.concatenate([pv[w:], jnp.full((w,), INT32_INF, pv.dtype)])[:nb]
+        sa_ = jnp.concatenate([pa[w:], jnp.zeros((w,), pa.dtype)])[:nb]
+        v, a = _argmin_op((pv, pa), (sv, sa_))
+        rows_v.append(v)
+        rows_a.append(a)
+    return ArgLocalRMQ(x=x, pref_v=pref_v.reshape(s), pref_a=pref_a.reshape(s),
+                       suff_v=suff_v.reshape(s), suff_a=suff_a.reshape(s),
+                       tab_v=jnp.stack(rows_v), tab_a=jnp.stack(rows_a),
+                       block=block)
+
+
+def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
+    """Leftmost argmin index over inclusive local ranges [lo, hi].
+
+    lo, hi: (q,) int32 with 0 <= lo <= hi < s. Returns (q,) int32 indices.
+    """
+    block, nb = rmq.block, rmq.nb
+    bl = lo // block
+    bh = hi // block
+    # same-block path
+    starts = (bl * block).astype(jnp.int32)
+    windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)
+    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
+    in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
+    masked = jnp.where(in_range, windows, INT32_INF)
+    same_arg = starts + jnp.argmin(masked, axis=1).astype(jnp.int32)
+    # cross-block path: suffix of lo's block, middle blocks, prefix of hi's
+    a = bl + 1
+    b = bh - 1
+    length = b - a + 1
+    lev = _floor_log2(length)
+    flat_v = rmq.tab_v.reshape(-1)
+    flat_a = rmq.tab_a.reshape(-1)
+    i1 = jnp.clip(lev * nb + a, 0, flat_v.shape[0] - 1)
+    i2 = jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat_v.shape[0] - 1)
+    t1 = (jnp.where(length > 0, flat_v[i1], INT32_INF), flat_a[i1])
+    t2 = (jnp.where(length > 0, flat_v[i2], INT32_INF), flat_a[i2])
+    cand = (rmq.suff_v[lo], rmq.suff_a[lo])
+    cand = _argmin_op(cand, t1)
+    cand = _argmin_op(cand, t2)
+    cand = _argmin_op(cand, (rmq.pref_v[hi], rmq.pref_a[hi]))
+    return jnp.where(bl == bh, same_arg, cand[1])

@@ -43,51 +43,57 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int):
     """Round-trip routing: ship records to ``dest`` shards, apply, return answers.
 
     Args:
-      payloads: tuple of (m,) local arrays (the record fields).
+      payloads: tuple of (m, ...) local arrays (the record fields; trailing
+        dims are carried along, e.g. a (m, Lmax) pattern matrix).
       dest: (m,) destination shard of each record (int32, in [0, p)).
-      answer_fn: fn(received_payloads: tuple of (p*m,), valid: (p*m,) bool)
-        -> tuple of (p*m,) answers, evaluated on the owner shard.
+      answer_fn: fn(received_payloads: tuple of (p*m, ...), valid: (p*m,) bool)
+        -> tuple of (p*m, ...) answers, evaluated on the owner shard.
       out_dtypes: dtypes of the answers.
     Returns:
-      tuple of (m,) answer arrays aligned with the original record order.
+      tuple of (m, ...) answer arrays aligned with the original record order.
     """
     m = dest.shape[0]
     order, dsort, flat_pos = _bucket_by_dest(dest, p)
     buf_len = p * m
 
     def to_buf(x, fill=0):
-        return jnp.full((buf_len,), fill, x.dtype).at[flat_pos].set(x[order])
+        shape = (buf_len,) + x.shape[1:]
+        return jnp.full(shape, fill, x.dtype).at[flat_pos].set(x[order])
+
+    def exchange(x):
+        if p == 1:
+            return x
+        shaped = x.reshape((p, m) + x.shape[1:])
+        out = lax.all_to_all(shaped, AXIS, split_axis=0, concat_axis=0)
+        return out.reshape((buf_len,) + x.shape[1:])
 
     sent = tuple(to_buf(x) for x in payloads)
     sent_valid = jnp.zeros((buf_len,), jnp.bool_).at[flat_pos].set(True)
 
-    if p > 1:
-        recv = tuple(lax.all_to_all(x.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
-        recv_valid = lax.all_to_all(sent_valid.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
-    else:
-        recv, recv_valid = sent, sent_valid
+    recv = tuple(exchange(x) for x in sent)
+    recv_valid = exchange(sent_valid)
 
     answers = answer_fn(recv, recv_valid)
     assert isinstance(answers, tuple)
 
-    if p > 1:
-        back = tuple(lax.all_to_all(a.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for a in answers)
-    else:
-        back = answers
+    back = tuple(exchange(a) for a in answers)
 
     # un-bucket: answer of original record order[t] sits at flat_pos[t]
     outs = []
     for a, dt in zip(back, out_dtypes):
         picked = a[flat_pos]  # aligned with sorted order
-        outs.append(jnp.zeros((m,), dt).at[order].set(picked))
+        outs.append(jnp.zeros((m,) + a.shape[1:], dt).at[order].set(picked))
     return tuple(outs)
 
 
-def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int):
+def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int,
+                  combine: tuple | None = None):
     """One-way scatter: targets[k][dest_idx[j] - shard_base] = values[k][j] at the owner.
 
     ``dest_idx`` are *global* element indices; records with ``valid`` False are
-    dropped. Returns the updated target arrays (each (s,) local).
+    dropped. ``combine`` selects per-target accumulation: "set" (default,
+    last-writer), "min", or "max" (used by the GST's ``$``-edge leaf-range
+    slots). Returns the updated target arrays (each (s,) local).
     """
     m = dest_idx.shape[0]
     safe_idx = jnp.where(valid, dest_idx, 0)
@@ -111,8 +117,16 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     loc = recv[0] - base
     loc = jnp.where(recv_valid, loc, s)  # out-of-range drop slot
     outs = []
-    for tgt, v in zip(targets, recv[1:]):
+    combine = combine or ("set",) * len(targets)
+    for tgt, v, how in zip(targets, recv[1:], combine):
         padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
-        padded = padded.at[loc].set(jnp.where(recv_valid, v, padded[loc]))
+        if how == "set":
+            padded = padded.at[loc].set(jnp.where(recv_valid, v, padded[loc]))
+        elif how == "min":
+            padded = padded.at[loc].min(jnp.where(recv_valid, v, padded[loc]))
+        elif how == "max":
+            padded = padded.at[loc].max(jnp.where(recv_valid, v, padded[loc]))
+        else:
+            raise ValueError(how)
         outs.append(padded[:s])
     return tuple(outs)

@@ -49,3 +49,49 @@ def suffix_tree_oracle(codes: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
                 nodes[node_id][c] = cid
                 stack.append((a, b, cid, d2))
     return nodes
+
+
+def gst_oracle(codes: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
+               eos: np.ndarray, sigma: int) -> np.ndarray:
+    """Expected generalized-suffix-tree table ((n, sigma+2) int64).
+
+    Layout per ``construct_gst`` (reference include/suffix_tree.hpp:521-608):
+    char-c edges in slot c+1; ``$``-edges aggregated as (min, max) child ids
+    in slots 0-1; edges whose parent depth is 0 are not recorded.
+    """
+    n = len(sa)
+    nodes = np.zeros((n, sigma + 2), np.int64)
+    if n <= 1:
+        return nodes
+    lcp = np.asarray(lcp, np.int64)
+    sa = np.asarray(sa, np.int64)
+    dmin = np.full(n, np.iinfo(np.int64).max)
+    dmax = np.full(n, -1, np.int64)
+
+    stack = [(0, n - 1, 0, 0)]
+    while stack:
+        l, r, node_id, d = stack.pop()
+        seg = lcp[l + 1:r + 1]
+        splits = (l + 1 + np.nonzero(seg == d)[0]).tolist()
+        bounds = [l] + splits + [r + 1]
+        for a, b_next in zip(bounds[:-1], bounds[1:]):
+            b = b_next - 1
+            cidx = sa[a] + d
+            if a == b:
+                child = n + a
+            else:
+                sub = lcp[a + 1:b + 1]
+                d2 = int(sub.min())
+                child = a + 1 + int(np.argmax(sub == d2))
+                stack.append((a, b, child, d2))
+            if d == 0:
+                continue  # root edges are not recorded
+            if cidx >= eos[sa[a]]:
+                dmin[node_id] = min(dmin[node_id], child)
+                dmax[node_id] = max(dmax[node_id], child)
+            else:
+                nodes[node_id][int(codes[cidx]) + 1] = child
+    has = dmax >= 0
+    nodes[has, 0] = dmin[has]
+    nodes[has, 1] = dmax[has]
+    return nodes

@@ -1,0 +1,62 @@
+"""DESA: bulk_locate ranges vs naive occurrence scan (reference test_desa.cpp)."""
+
+import numpy as np
+import pytest
+
+from psac_tpu.ops.alphabet import rand_dna
+from psac_tpu.ops.oracle import suffix_array_np
+
+
+def occurrences(text: bytes, pat: bytes):
+    out, start = [], 0
+    while True:
+        i = text.find(pat, start)
+        if i < 0:
+            return sorted(out)
+        out.append(i)
+        start = i + 1
+
+
+def check_patterns(desa, text: bytes, sa, patterns):
+    ranges = desa.bulk_locate(patterns)
+    for pat, (l, r) in zip(patterns, ranges):
+        got = sorted(sa[l:r].tolist())
+        want = occurrences(text, pat)
+        assert got == want, (pat, l, r, got[:10], want[:10])
+
+
+def test_desa_mississippi(mesh8):
+    from psac_tpu.models.desa import build_desa
+    text = b"mississippi"
+    desa = build_desa(text, mesh=mesh8, tli_bits=6)
+    sa = suffix_array_np(text)
+    pats = [b"i", b"iss", b"ssi", b"mississippi", b"ppi", b"xyz", b"issb",
+            b"s", b"sis", b"m", b"pp", b"missx"]
+    check_patterns(desa, text, sa, pats)
+
+
+@pytest.mark.parametrize("n", [1000, 13337])
+def test_desa_dna(mesh8, n):
+    from psac_tpu.models.desa import build_desa
+    text = rand_dna(n, seed=n)
+    desa = build_desa(text, mesh=mesh8)
+    sa = suffix_array_np(text)
+    rng = np.random.RandomState(5)
+    pats = []
+    for ln in [1, 2, 4, 5, 6, 9, 17, 40]:
+        for _ in range(6):
+            st = rng.randint(0, n - ln)
+            pats.append(text[st:st + ln])
+    # absent / mutated patterns
+    pats += [b"ACGTACGTACGTACGTACGTX"[:12].replace(b"X", b"A") + b"TTTTTTTTT",
+             b"GGGGGGGGGGGGGGGGGGGGGGGG", b"A" * 30]
+    check_patterns(desa, text, sa, pats)
+
+
+def test_desa_repeats(mesh8):
+    from psac_tpu.models.desa import build_desa
+    text = b"abab" * 250
+    desa = build_desa(text, mesh=mesh8, tli_bits=8)
+    sa = suffix_array_np(text)
+    pats = [b"ab", b"ba", b"abab", b"aa", b"bab" * 20, b"ab" * 100]
+    check_patterns(desa, text, sa, pats)

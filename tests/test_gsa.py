@@ -1,0 +1,105 @@
+"""GSA: distributed construction vs a naive sort oracle.
+
+Mirrors the reference's test matrix (test/test_gsa.cpp: (ab)^i repeat
+families with closed-form GSA/GLCP) plus duplicate-string tie cases.
+"""
+
+import numpy as np
+import pytest
+
+
+def gsa_oracle(parts):
+    flat = b"".join(parts)
+    lens = np.array([len(x) for x in parts], np.int64)
+    n = len(flat)
+    eos = np.repeat(np.cumsum(lens), lens)
+    order = sorted(range(n), key=lambda i: (flat[i:eos[i]], i))
+    sa = np.array(order, np.int64)
+    lcp = np.zeros(n, np.int64)
+    for j in range(1, n):
+        a = flat[sa[j - 1]:eos[sa[j - 1]]]
+        b = flat[sa[j]:eos[sa[j]]]
+        k = 0
+        while k < len(a) and k < len(b) and a[k] == b[k]:
+            k += 1
+        lcp[j] = k
+    return sa, lcp
+
+
+def check(mesh, parts):
+    from psac_tpu.models.gsa import build_gsa
+    res = build_gsa(parts, mesh=mesh)
+    want_sa, want_lcp = gsa_oracle([bytes(x) for x in parts if len(x)])
+    np.testing.assert_array_equal(res.sa, want_sa)
+    np.testing.assert_array_equal(res.lcp, want_lcp)
+
+
+def test_gsa_repeat_family(mesh8):
+    # the reference's closed-form family: strings (ab)^i
+    check(mesh8, [b"ab" * i for i in range(1, 12)])
+
+
+def test_gsa_duplicates(mesh8):
+    # identical strings: every suffix ties; exercises settled-termination
+    check(mesh8, [b"banana"] * 5 + [b"ban", b"anana"])
+
+
+def test_gsa_single_string_equals_sa(mesh8):
+    from psac_tpu.models.gsa import build_gsa
+    from psac_tpu.ops.oracle import lcp_kasai, suffix_array_np
+    text = b"mississippi"
+    res = build_gsa([text], mesh=mesh8)
+    np.testing.assert_array_equal(res.sa, suffix_array_np(text))
+    np.testing.assert_array_equal(res.lcp, lcp_kasai(text, suffix_array_np(text)))
+
+
+def test_gsa_random_dna_set(mesh8):
+    from psac_tpu.ops.alphabet import rand_dna
+    rng = np.random.RandomState(9)
+    parts = [rand_dna(int(ln), seed=int(ln) + j)
+             for j, ln in enumerate(rng.randint(1, 400, size=12))]
+    check(mesh8, parts)
+
+
+def test_gsa_newline_flat_input(mesh8):
+    from psac_tpu.models.gsa import build_gsa
+    res = build_gsa(b"abc\nbca\ncab\n", mesh=mesh8)
+    want_sa, want_lcp = gsa_oracle([b"abc", b"bca", b"cab"])
+    np.testing.assert_array_equal(res.sa, want_sa)
+    np.testing.assert_array_equal(res.lcp, want_lcp)
+
+
+def test_gsa_many_tiny_strings(mesh8):
+    check(mesh8, [b"a", b"b", b"a", b"ab", b"ba", b"b", b"aa"] * 3)
+
+
+def gst_expected(parts):
+    from psac_tpu.ops.alphabet import Alphabet
+    from psac_tpu.verify.suffix_tree_oracle import gst_oracle
+    flat = b"".join(parts)
+    lens = np.array([len(x) for x in parts], np.int64)
+    eos = np.repeat(np.cumsum(lens), lens)
+    alpha = Alphabet.from_bytes(flat)
+    sa, lcp = gsa_oracle(parts)
+    return gst_oracle(alpha.encode(flat), sa, lcp, eos, alpha.sigma)
+
+
+@pytest.mark.parametrize("parts", [
+    [b"ab" * i for i in range(1, 8)],
+    [b"banana", b"ananas", b"banana", b"nab"],
+    [b"abc", b"bca", b"cab"],
+])
+def test_gst(mesh8, parts):
+    from psac_tpu.models.suffix_tree import build_gst
+    got = build_gst(parts, mesh=mesh8)
+    np.testing.assert_array_equal(got, gst_expected(parts))
+
+
+def test_gst_dna_set(mesh8):
+    from psac_tpu.models.suffix_tree import build_gst
+    from psac_tpu.ops.alphabet import rand_dna
+    rng = np.random.RandomState(3)
+    parts = [rand_dna(int(ln), seed=int(ln) + 7 * j)
+             for j, ln in enumerate(rng.randint(2, 300, size=10))]
+    got = build_gst(parts, mesh=mesh8)
+    np.testing.assert_array_equal(got, gst_expected(parts))

@@ -54,3 +54,21 @@ def test_bulk_rmq_distributed(mesh8):
     got = np.asarray(f(*[jax.device_put(a, block_sharding(mesh8)) for a in (x, lo, hi, valid)]))
     want = np.array([x[l:h + 1].min() if v else INT32_INF for l, h, v in zip(lo, hi, valid)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_arg_rmq_bruteforce():
+    """Leftmost-argmin RMQ vs brute force (heavy ties + wide values)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from psac_tpu.ops.rmq import build_arg_rmq, query_arg_rmq
+
+    rng = np.random.RandomState(0)
+    for s, vmax in [(64, 5), (256, 8), (1024, 4), (512, 10**6)]:
+        x = rng.randint(0, vmax, size=s).astype(np.int32)
+        r = build_arg_rmq(jnp.array(x))
+        qs = [(l, h) for l in range(0, s, 7) for h in range(l, s, 13)]
+        lo = jnp.array([q[0] for q in qs], jnp.int32)
+        hi = jnp.array([q[1] for q in qs], jnp.int32)
+        got = np.asarray(query_arg_rmq(r, lo, hi))
+        want = np.array([q[0] + int(np.argmin(x[q[0]:q[1] + 1])) for q in qs])
+        np.testing.assert_array_equal(got, want)
