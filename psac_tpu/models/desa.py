@@ -108,6 +108,8 @@ class DESA:
     rmq_parts: tuple        # 6 arrays of the per-shard ArgLocalRMQ over LCP
     rmq_block: int
     xs: jax.Array           # (N,) block-sharded encoded text (verification)
+    tli: str = "tllt"       # top-level index kind: "tllt" or "tldt"
+    samp: dict | None = None  # tldt: replicated sampled-LCP search structure
     _query_cache: dict = dataclasses.field(default_factory=dict)
 
     # ---------------- queries ----------------
@@ -145,8 +147,13 @@ class DESA:
         dmat = jax.device_put(mat, shard)
         dlens = jax.device_put(lens, shard)
         fn = self._get_query_fn(Bp // p, Lmax)
-        l, r = fn(dmat, dlens, self.table, self.begins, self.sa, self.lcp,
-                  self.lc, *self.rmq_parts, self.xs)
+        if self.tli == "tllt":
+            l, r = fn(dmat, dlens, self.table, self.begins, self.sa, self.lcp,
+                      self.lc, *self.rmq_parts, self.xs)
+        else:
+            l, r = fn(dmat, dlens, self.samp["off_ext"], self.samp["lcp"],
+                      self.samp["lc"], *self.samp["rmq"], self.begins,
+                      self.sa, self.lcp, self.lc, *self.rmq_parts, self.xs)
         out = np.stack([np.asarray(jax.device_get(l)),
                         np.asarray(jax.device_get(r))], axis=1)[:B].astype(np.int64)
         out[bad] = 0
@@ -161,58 +168,142 @@ class DESA:
         key = (b, Lmax)
         if key not in self._query_cache:
             p = num_shards(self.mesh)
-            fn = jax.shard_map(
-                functools.partial(
-                    _bulk_locate_local, b=b, Lmax=Lmax, p=p, n=self.n,
-                    s=self.N // p, k=self.k, cap=self.cap,
-                    bits=self.alphabet.bits_per_char,
-                    rmq_block=self.rmq_block),
-                mesh=self.mesh,
-                in_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS), P(AXIS),
-                          P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                          P(None, AXIS), P(None, AXIS), P(AXIS)),
-                out_specs=(P(AXIS), P(AXIS)))
+            if self.tli == "tllt":
+                fn = jax.shard_map(
+                    functools.partial(
+                        _bulk_locate_local, b=b, Lmax=Lmax, p=p, n=self.n,
+                        s=self.N // p, k=self.k, cap=self.cap,
+                        bits=self.alphabet.bits_per_char,
+                        rmq_block=self.rmq_block),
+                    mesh=self.mesh,
+                    in_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS), P(AXIS),
+                              P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                              P(None, AXIS), P(None, AXIS), P(AXIS)),
+                    out_specs=(P(AXIS), P(AXIS)))
+            else:
+                fn = jax.shard_map(
+                    functools.partial(
+                        _bulk_locate_tldt_local, b=b, Lmax=Lmax, p=p,
+                        n=self.n, s=self.N // p, cap=self.cap,
+                        rmq_block=self.rmq_block,
+                        m_samp=self.samp["m"], M_samp=self.samp["M"],
+                        samp_block=self.samp["block"]),
+                    mesh=self.mesh,
+                    in_specs=(P(AXIS), P(AXIS)) + (P(),) * 9 + (P(),)
+                             + (P(AXIS),) * 7 + (P(None, AXIS),) * 2
+                             + (P(AXIS),),
+                    out_specs=(P(AXIS), P(AXIS)))
             self._query_cache[key] = jax.jit(fn)
         return self._query_cache[key]
 
 
 def build_desa(text: bytes | np.ndarray, mesh=None,
                config: cfg_mod.SAConfig = cfg_mod.DEFAULT,
-               tli_bits: int = 16) -> DESA:
-    """Construct the DESA: SA+LCP+Lc, TLLT, partition, reshard, RMQ."""
+               tli_bits: int = 16, tli: str = "tllt",
+               maxsize: int | None = None) -> DESA:
+    """Construct the DESA: SA+LCP+Lc, TLI (TLLT or TLDT), partition,
+    reshard, RMQ."""
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh, config)
     dsa = construct_device(xs, alpha, n, N, mesh, config)
     lc = compute_lc_device(dsa, xs)
-    return _assemble_desa(xs, alpha, n, N, dsa.lcp, dsa.sa, lc, mesh, tli_bits)
+    return _assemble_desa(xs, alpha, n, N, dsa.lcp, dsa.sa, lc, mesh,
+                          tli_bits, tli, maxsize)
+
+
+def _partition_from_prefix(ps: np.ndarray, n: int, p: int):
+    """Host weighted 1-D partition at bin boundaries given inclusive prefix
+    bin sizes (reference include/partition.hpp + desa.hpp:186-215)."""
+    targets = (np.arange(1, p) * n) // p
+    cuts = np.minimum(np.searchsorted(ps, targets, side="left"), len(ps) - 1)
+    begins_np = np.zeros(p, np.int64)
+    begins_np[1:] = ps[cuts]
+    ends = np.concatenate([begins_np[1:], [n]])
+    cap = max(8, -(-int((ends - begins_np).max()) // 8) * 8)
+    return begins_np, cap
+
+
+def _sample_mask_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
+    """Device LCP-sampling mask via distributed ANSV (see
+    psac_tpu.ops.sample_lcp for the characterization)."""
+    from psac_tpu.ops.ansv import NEAREST_SM
+    from psac_tpu.parallel.ansv import NONSV, ansv_local
+    from psac_tpu.parallel.collectives import global_index_base
+
+    N = s * p
+    off = N - n
+    g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+    real = g >= off
+    lcp_adj = jnp.where(real, lcp_l, jnp.int32(-1))
+    lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
+    lidx, _, ridx, _ = ansv_local(lcp_adj, s, p, NEAREST_SM, NEAREST_SM)
+    L = jnp.maximum(jnp.where(lidx == NONSV, off, lidx), off)
+    R = jnp.where(ridx == NONSV, N, ridx)
+    keep = real & ((g == off) | (lcp_adj == 0) | ((R - L) > maxsize))
+    return keep
 
 
 def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
-                   mesh, tli_bits: int) -> DESA:
+                   mesh, tli_bits: int, tli: str = "tllt",
+                   maxsize: int | None = None) -> DESA:
     """TLI + partition + reshard + RMQ from block-layout SA/LCP/Lc arrays
     (shared by construction and ``read_desa``; the reference likewise
     rebuilds TLI/repartition/RMQ on load, ``include/desa.hpp:366-397``)."""
     p = num_shards(mesh)
     bits = alpha.bits_per_char
-    k = max(1, min(tli_bits // bits, 12))
-    T = 1 << (k * bits)
     s = N // p
-    hist_fn = jax.jit(jax.shard_map(
-        functools.partial(_kmer_hist_local, s=s, p=p, n=n, k=k, bits=bits, T=T),
-        mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))
-    table = jnp.cumsum(hist_fn(xs), dtype=jnp.int32)
-    table_np = np.asarray(jax.device_get(table))
+    k = max(1, min(tli_bits // bits, 12))
+    samp = None
+    table = jnp.zeros((1,), jnp.int32)
 
-    # host-side weighted 1-D partition at k-mer bucket boundaries
-    # (reference include/partition.hpp + desa.hpp:186-215)
-    targets = (np.arange(1, p) * n) // p
-    cuts = np.minimum(np.searchsorted(table_np, targets, side="left"),
-                      len(table_np) - 1)
-    begins_np = np.zeros(p, np.int64)
-    begins_np[1:] = table_np[cuts]
-    ends = np.concatenate([begins_np[1:], [n]])
-    seg = ends - begins_np
-    cap = max(8, -(- int(seg.max()) // 8) * 8)
+    if tli == "tllt":
+        T = 1 << (k * bits)
+        hist_fn = jax.jit(jax.shard_map(
+            functools.partial(_kmer_hist_local, s=s, p=p, n=n, k=k, bits=bits, T=T),
+            mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))
+        table = jnp.cumsum(hist_fn(xs), dtype=jnp.int32)
+        table_np = np.asarray(jax.device_get(table))
+        begins_np, cap = _partition_from_prefix(table_np, n, p)
+    elif tli == "tldt":
+        # sampled-LCP top-level trie (reference tldt, include/tldt.hpp:412-473):
+        # maxsize = n/p/128 (tldt.hpp:426), sampled rows replicated
+        ms = maxsize or max(2, n // p // 128)
+        mask_fn = jax.jit(jax.shard_map(
+            functools.partial(_sample_mask_local, s=s, p=p, n=n, maxsize=ms),
+            mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS)))
+        keep = np.asarray(jax.device_get(mask_fn(lcp_block)))
+        off = N - n
+        offs = (np.nonzero(keep)[0] - off).astype(np.int64)
+        m = len(offs)
+        if m < 2:
+            raise ValueError("tldt sampling produced < 2 rows; lower maxsize")
+        lcp_h = np.asarray(jax.device_get(lcp_block), np.int64)[off:]
+        lc_h = np.asarray(jax.device_get(lc_block), np.int64)[off:]
+        lcp_h[0] = 0
+        M = max(8, _pow2ceil(m))
+        samp_lcp = np.full(M, np.iinfo(np.int32).max, np.int32)
+        samp_lcp[:m] = lcp_h[offs]
+        samp_lc = np.zeros(M, np.int32)
+        samp_lc[:m] = lc_h[offs]
+        off_ext = np.full(M + 1, n, np.int32)
+        off_ext[:m] = offs
+        rep = NamedSharding(mesh, P())
+        d_lcp = jax.device_put(samp_lcp, rep)
+        d_lc = jax.device_put(samp_lc, rep)
+        d_off = jax.device_put(off_ext, rep)
+        def _rmq6(a):
+            r = build_arg_rmq(a)
+            return r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a
+
+        srmq = jax.jit(_rmq6)(d_lcp)
+        from psac_tpu.ops.rmq import block_size_for as _bsf
+        samp = {"off_ext": d_off, "lcp": d_lcp, "lc": d_lc,
+                "rmq": tuple(srmq), "block": _bsf(M), "m": m, "M": M}
+        ps = np.concatenate([offs[1:], [n]]).astype(np.int64)
+        begins_np, cap = _partition_from_prefix(ps, n, p)
+    else:
+        raise ValueError(f"unknown tli kind {tli!r}")
+
     begins = jax.device_put(begins_np.astype(np.int32), NamedSharding(mesh, P()))
 
     reshard_fn = jax.jit(jax.shard_map(
@@ -234,7 +325,8 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     return DESA(mesh=mesh, alphabet=alpha, n=n, N=N, k=k, table=table,
                 begins=begins, begins_np=begins_np, cap=cap,
                 sa=sa_slab, lcp=lcp_slab, lc=lc_slab,
-                rmq_parts=tuple(rmq_parts), rmq_block=block, xs=xs)
+                rmq_parts=tuple(rmq_parts), rmq_block=block, xs=xs,
+                tli=tli, samp=samp)
 
 
 # --------------------------------------------------------------------------
@@ -337,8 +429,8 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
         return (l_new, r_new, i_new, q_new, phase_new, done_new, step + 1)
 
     state = (l0, r0, i0, q0, jnp.zeros_like(l0), done0, jnp.int32(0))
-    l, r, _, _, _, _, _ = lax.while_loop(cond, body, state)
-    return l, r
+    l, r, _, q, _, _, _ = lax.while_loop(cond, body, state)
+    return l, r, q
 
 
 def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
@@ -363,8 +455,8 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
         l_loc = jnp.clip(rlo - begin, 0, cap - 1)
         r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1)
         search = need_q & (l_loc < r_loc)
-        fl, fr = _blind_search(rp, rlen, l_loc, r_loc, search,
-                               sa_slab, lcp_slab, lc_slab, rmq, cap)
+        fl, fr, _ = _blind_search(rp, rlen, l_loc, r_loc, search,
+                                  sa_slab, lcp_slab, lc_slab, rmq, cap)
         fl = jnp.where(search, fl, l_loc)
         fr = jnp.where(search, fr, r_loc)
 
@@ -452,3 +544,84 @@ def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
 
     return _assemble_desa(xs, alpha, n, N, pad_block(lcp), pad_block(sa),
                           pad_block(lc), mesh, tli_bits)
+
+
+def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
+                            s_pref_v, s_pref_a, s_suff_v, s_suff_a, s_tab_v,
+                            s_tab_a, begins, sa_slab, lcp_slab, lc_slab,
+                            pref_v, pref_a, suff_v, suff_a, tab_v, tab_a,
+                            xs_l, *, b: int, Lmax: int, p: int, n: int,
+                            s: int, cap: int, rmq_block: int, m_samp: int,
+                            M_samp: int, samp_block: int):
+    """bulk_locate with the TLDT top-level index (reference ``tldt::lookup``,
+    include/tldt.hpp:466-470): the replicated sampled-LCP blind search runs
+    at the pattern's origin shard; if it already consumed the whole pattern
+    the owner only verifies, otherwise the owner continues the search on its
+    subtree-aligned segment.  Every result is text-verified (the reference
+    leaves short patterns unverified with tldt's minmatch of 1)."""
+    r_rank = lax.axis_index(AXIS).astype(jnp.int32)
+
+    srmq = ArgLocalRMQ(x=samp_lcp, pref_v=s_pref_v, pref_a=s_pref_a,
+                       suff_v=s_suff_v, suff_a=s_suff_a, tab_v=s_tab_v,
+                       tab_a=s_tab_a, block=samp_block)
+    zero = jnp.zeros_like(lens_l)
+    topr = zero + jnp.int32(m_samp - 1)
+    need0 = lens_l > 0
+    ls, rs, qf = _blind_search(mat_l, lens_l, zero, topr, need0,
+                               samp_lcp, samp_lcp, samp_lc, srmq, M_samp)
+    glo = off_ext[jnp.clip(ls, 0, M_samp)]
+    ghi = off_ext[jnp.clip(rs + 1, 0, M_samp)]
+    finished = (qf >= lens_l) | (ghi <= glo)
+    need = need0 & (glo < ghi)
+    owner = jnp.sum((begins[None, :] <= glo[:, None]).astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(need, owner, r_rank)
+
+    rmq = ArgLocalRMQ(x=lcp_slab, pref_v=pref_v, pref_a=pref_a,
+                      suff_v=suff_v, suff_a=suff_a, tab_v=tab_v, tab_a=tab_a,
+                      block=rmq_block)
+
+    def answer(recv, recv_valid):
+        rp, rlen, rlo, rhi, rfin = recv
+        begin = begins[r_rank]
+        rfin = rfin != 0
+        need_q = recv_valid & (rlen > 0) & (rlo < rhi)
+        l_loc = jnp.clip(rlo - begin, 0, cap - 1)
+        r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1)
+        search = need_q & ~rfin & (l_loc < r_loc)
+        fl, fr, _ = _blind_search(rp, rlen, l_loc, r_loc, search,
+                                  sa_slab, lcp_slab, lc_slab, rmq, cap)
+        fl = jnp.where(search, fl, l_loc)
+        fr = jnp.where(search, fr, r_loc)
+
+        ver_row = jnp.where(rfin, l_loc, fl)
+        sal = sa_slab[jnp.clip(ver_row, 0, cap - 1)]
+        M = fl.shape[0]
+        pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
+        in_text = pos < n
+        flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
+        ch_dest = flatpos // s
+
+        def gather(recv2, recv2_valid):
+            (q2,) = recv2
+            return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
+
+        (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
+        got = got.reshape(M, Lmax)
+        okc = jnp.where(in_pat, in_text & (got == rp), True)
+        match = jnp.all(okc, axis=1)
+
+        out_l = jnp.where(rfin, rlo, begin + fl)
+        out_r_full = jnp.where(rfin, rhi, begin + fr + 1)
+        out_r = jnp.where(need_q & match, out_r_full, out_l)
+        out_l = jnp.where(need_q, out_l, 0)
+        out_r = jnp.where(need_q, out_r, 0)
+        return (out_l, out_r)
+
+    al, ar = route_apply(
+        (mat_l, lens_l, glo, ghi, finished.astype(jnp.int32)), dest, answer,
+        (jnp.int32, jnp.int32), p)
+    # unrouted patterns have an empty lookup range -> empty result
+    out_l = jnp.where(need, al, glo)
+    out_r = jnp.where(need, ar, glo)
+    return out_l, out_r

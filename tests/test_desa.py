@@ -60,3 +60,29 @@ def test_desa_repeats(mesh8):
     sa = suffix_array_np(text)
     pats = [b"ab", b"ba", b"abab", b"aa", b"bab" * 20, b"ab" * 100]
     check_patterns(desa, text, sa, pats)
+
+
+@pytest.mark.parametrize("n", [1000, 9000])
+def test_desa_tldt(mesh8, n):
+    from psac_tpu.models.desa import build_desa
+    text = rand_dna(n, seed=n + 1)
+    desa = build_desa(text, mesh=mesh8, tli="tldt", maxsize=8)
+    assert desa.tli == "tldt" and desa.samp["m"] >= 2
+    sa = suffix_array_np(text)
+    rng = np.random.RandomState(2)
+    pats = []
+    for ln in [1, 2, 3, 5, 9, 20]:
+        for _ in range(5):
+            st = rng.randint(0, n - ln)
+            pats.append(text[st:st + ln])
+    pats += [b"GGGGGGGGGGGGGGGGGG", b"A", b"T" * 25]
+    check_patterns(desa, text, sa, pats)
+
+
+def test_desa_tldt_repeats(mesh8):
+    from psac_tpu.models.desa import build_desa
+    text = b"abab" * 200 + b"bba" * 100
+    desa = build_desa(text, mesh=mesh8, tli="tldt", maxsize=4)
+    sa = suffix_array_np(text)
+    check_patterns(desa, text, sa,
+                   [b"ab", b"ba", b"bb", b"abab" * 10, b"bba", b"aa", b"b"])
