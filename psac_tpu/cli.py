@@ -149,6 +149,25 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_benchmark_k(args) -> int:
+    """Initial k-mer length sweep (reference src/benchmark_k.cpp)."""
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_array import build_suffix_array
+    from psac_tpu.parallel.mesh import num_shards
+
+    text = _load_text(args)
+    mesh = _mesh(args)
+    p = num_shards(mesh)
+    for k in args.ks:
+        conf = cfg.SAConfig(construct_lcp=args.lcp, k=k)
+        build_suffix_array(text, mesh=mesh, config=conf)  # warm-up
+        t0 = time.time()
+        for _ in range(args.reps):
+            build_suffix_array(text, mesh=mesh, config=conf)
+        print(f"{p};psac;{k};{(time.time() - t0) / args.reps * 1000:.2f}")
+    return 0
+
+
 def cmd_benchmark_ansv(args) -> int:
     """ANSV timing on synthetic inputs (reference src/benchmark_ansv.cpp)."""
     from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
@@ -293,6 +312,13 @@ def main(argv=None) -> int:
     common(s)
     s.add_argument("--reps", type=int, default=3)
     s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("benchmark-k")
+    common(s)
+    s.add_argument("-l", "--lcp", action="store_true")
+    s.add_argument("--ks", type=int, nargs="+", default=[0, 4, 8, 12, 16, 20])
+    s.add_argument("--reps", type=int, default=3)
+    s.set_defaults(fn=cmd_benchmark_k)
 
     s = sub.add_parser("benchmark-ansv")
     s.add_argument("-n", type=int, default=1 << 20)

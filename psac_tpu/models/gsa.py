@@ -100,6 +100,8 @@ class DeviceGSA:
 class _GsaBuilder(_Builder):
     """Doubling builder threaded with the per-position eos array."""
 
+    gsa_mode = True  # eos-aware sparse tail (reference construct_msgs_gsa)
+
     def __init__(self, mesh, N, k1, k2, bits, with_lcp):
         super().__init__(mesh, N, k1, k2, bits, with_lcp)
         shmap = functools.partial(jax.shard_map, mesh=mesh)
@@ -137,7 +139,7 @@ class _GsaBuilder(_Builder):
         prev_lo = jnp.concatenate([pl, lo_s[:-1]])
         prev_rem = jnp.concatenate([pr, rem_s[:-1]])
         newb = (hi_s != prev_hi) | (lo_s != prev_lo)
-        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        isa_new, _, _, counts = self._rebucket_and_isa(newb, gidx, sa)
         outs = (isa_new, sa)
         if self.with_lcp:
             lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
@@ -157,7 +159,7 @@ class _GsaBuilder(_Builder):
                 functools.partial(self._gstep_local, q=q),
                 mesh=self.mesh,
                 in_specs=(x, x) + ((x,) if self.with_lcp else ()) + (r,),
-                out_specs=(x, x) + lcp_outs + (r, r))
+                out_specs=(x, x) + lcp_outs + (x, x, x) + (r, r))
             self._step_cache[q] = jax.jit(fn)
         return self._step_cache[q]
 
@@ -170,20 +172,22 @@ class _GsaBuilder(_Builder):
         gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
         b2 = global_shift_left(isa_l, d, q, p)
         b2 = jnp.where(gidx + d < eos_l, b2, 0)
-        b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
+        b_s, b2_s, sa, eos_s = dist_sort_local((isa_l, b2, gidx, eos_l),
+                                               num_keys=3, p=p)
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
         pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
         newb = (b_s != pb) | (b2_s != pb2)
-        isa_new, _ = self._rebucket_and_isa(newb, gidx, sa)
+        isa_new, b_new, _, _ = self._rebucket_and_isa(newb, gidx, sa)
         # GSA termination: settled = unique (B, B2) pair or fully-ended
         # suffix group (B2 == 0 ties can never split; their order is final)
         nxt_halo = halo_from_right(newb, 1, p, fill=True)
         nxt = jnp.concatenate([newb[1:], nxt_halo])
         settled = (newb & nxt) | (b2_s == 0)
-        ue = jnp.int32(N) - lax.psum(jnp.sum(settled.astype(jnp.int32)), AXIS)
+        active = ~settled
+        ue = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
         counts = (ue, ue)
         if not self.with_lcp:
-            return (isa_new, sa) + counts
+            return (isa_new, sa) + (b_new, active, eos_s) + counts
         from psac_tpu.ops.rmq import INT32_INF
         split = (b_s == pb) & (b2_s != pb2)
         zerocase = split & ((pb2 == 0) | (b2_s == 0))
@@ -193,7 +197,7 @@ class _GsaBuilder(_Builder):
         rq = jnp.maximum(pb2, b2_s) - 1
         nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
         qkey = jnp.where(querycase, gidx, INT32_INF)
-        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + counts
+        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active, eos_s) + counts
 
 
 _GSA_BUILDER_CACHE: dict = {}
@@ -261,18 +265,38 @@ def build_gsa_device(strings, mesh=None,
     ue = int(ue)
 
     d = k1 + k2
+    tail_limit = int(N * config.tail_threshold_frac)
+    brow = active = eos_row = None
     while ue > 0:
-        if d >= 2 * N:
+        if d >= 4 * N:
             raise AssertionError("GSA doubling failed to converge")
+        if brow is not None and 0 < ue <= tail_limit:
+            # ---- eos-aware sparse tail (reference construct_msgs_gsa) ----
+            m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
+            cg, cs, cb, ce, total = b.tail_enter(m_cap)(sa, brow, active, eos_row)
+            if int(total) <= m_cap:
+                while ue > 0:
+                    if config.construct_lcp:
+                        cg, cs, cb, ce, isa, sa, lcp, ue = b.tail_step(m_cap)(
+                            cg, cs, cb, ce, isa, sa, lcp, jnp.int32(d))
+                    else:
+                        cg, cs, cb, ce, isa, sa, ue = b.tail_step(m_cap)(
+                            cg, cs, cb, ce, isa, sa, jnp.int32(d))
+                    ue = int(ue)
+                    d *= 2
+                    if d >= 8 * N:
+                        raise AssertionError("GSA tail failed to converge")
+                break
         qd = min(d // b.s, b.p)
         if config.construct_lcp:
-            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(qd)(isa, eos, lcp, jnp.int32(d))
+            isa, sa, lcp, qkey, lq, rq, nq, brow, active, eos_row, ub, ue = \
+                b.step(qd)(isa, eos, lcp, jnp.int32(d))
             nq = int(nq)
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
                 lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
         else:
-            isa, sa, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
+            isa, sa, brow, active, eos_row, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
         ue = int(ue)
         d *= 2
 

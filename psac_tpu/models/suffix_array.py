@@ -48,7 +48,7 @@ from psac_tpu.parallel.collectives import (
 )
 from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
 from psac_tpu.parallel.par_rmq import bulk_rmq_local
-from psac_tpu.parallel.route import route_scatter
+from psac_tpu.parallel.route import route_apply, route_scatter
 from psac_tpu.parallel.sort import dist_sort_local, scatter_by_index_local
 
 
@@ -121,7 +121,7 @@ class _Builder:
         self._init = jax.jit(shmap(
             self._init_local,
             in_specs=(x, r),
-            out_specs=(x, x) + ((x,) if with_lcp else ()) + (r, r),
+            out_specs=(x, x) + ((x,) if with_lcp else ()) + (x, x) + (r, r),
         ))
 
     # ---------------- init: k-mer ranking ----------------
@@ -144,7 +144,7 @@ class _Builder:
         prev_hi = jnp.concatenate([ph, hi_s[:-1]])
         prev_lo = jnp.concatenate([pl, lo_s[:-1]])
         newb = (hi_s != prev_hi) | (lo_s != prev_lo)
-        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         outs = (isa_new, sa)
         if self.with_lcp:
             lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
@@ -154,7 +154,7 @@ class _Builder:
             lcp0 = jnp.where(gidx < jnp.int32(N) - n_real, gidx, lcp0)
             lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
             outs = outs + (lcp0,)
-        return outs + counts
+        return outs + (b_new, active) + counts
 
     # ---------------- shared rebucket + SA->ISA ----------------
 
@@ -164,7 +164,9 @@ class _Builder:
         Reference ``rebucket`` (``include/bucketing.hpp:58-129``): boundary
         marking with a one-element halo, segmented broadcast of the bucket
         head index via a distributed max-scan, and the (buckets, elements)
-        unfinished counters that drive loop exit.
+        unfinished counters that drive loop exit.  Also returns the new
+        bucket ids and the active (non-singleton) mask *by SA row* so the
+        sparse-tail entry needs no re-derivation.
         """
         p, N = self.p, self.N
         cand = jnp.where(newb, gpos + 1, 0).astype(jnp.int32)
@@ -177,7 +179,7 @@ class _Builder:
         unfinished_buckets = tot_buckets - tot_single
         unfinished_els = jnp.int32(N) - tot_single
         (isa_new,) = scatter_by_index_local(sa, (b_new,), p)
-        return isa_new, (unfinished_buckets, unfinished_els)
+        return isa_new, b_new, ~singleton, (unfinished_buckets, unfinished_els)
 
     # ---------------- one doubling iteration ----------------
 
@@ -190,7 +192,7 @@ class _Builder:
                 functools.partial(self._step_local, q=q),
                 mesh=self.mesh,
                 in_specs=(x,) + ((x,) if self.with_lcp else ()) + (r,),
-                out_specs=(x, x) + lcp_outs + (r, r),
+                out_specs=(x, x) + lcp_outs + (x, x) + (r, r),
             )
             self._step_cache[q] = jax.jit(fn)
         return self._step_cache[q]
@@ -207,9 +209,9 @@ class _Builder:
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
         pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
         newb = (b_s != pb) | (b2_s != pb2)
-        isa_new, counts = self._rebucket_and_isa(newb, gidx, sa)
+        isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         if not self.with_lcp:
-            return (isa_new, sa) + counts
+            return (isa_new, sa) + (b_new, active) + counts
 
         # --- LCP bookkeeping (reference resolve_next_lcp,
         #     suffix_array.hpp:1444-1508): new splits inside an old bucket.
@@ -223,7 +225,7 @@ class _Builder:
         rq = jnp.maximum(pb2, b2_s) - 1
         nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
         qkey = jnp.where(querycase, gidx, INT32_INF)
-        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + counts
+        return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active) + counts
 
     # ---------------- LCP resolve (bulk RMQ + scatter) ----------------
 
@@ -256,6 +258,157 @@ class _Builder:
         newval = (d.astype(jnp.int32) + mins)
         (lcp_new,) = route_scatter(kq, (newval,), (lcp_l,), valid, s, p)
         return lcp_new
+
+    # ---------------- sparse tail ("bucket chaising") ----------------
+    #
+    # Reference ``construct_msgs`` (include/suffix_array.hpp:1033-1299):
+    # once few elements remain unfinished, stop sorting all n — keep a
+    # compacted record (SA row, suffix pos, bucket id) per active element
+    # in a capacity-padded buffer, and per iteration: sparse-gather
+    # B2 = ISA[pos + d] from the dense ISA, sort only the compacted set,
+    # rebucket segment-wise, and scatter the refined rows/ranks (and LCP
+    # values via dense bulk RMQ) back into the dense arrays.  The
+    # reference's dynamic per-bucket subcommunicator sorts collapse to one
+    # static-shape distributed sort of the compacted buffer.
+
+    gsa_mode = False  # _GsaBuilder flips this: eos-aware tail
+
+    def tail_enter(self, m_cap: int):
+        key = ("enter", m_cap)
+        if key not in self._step_cache:
+            x = P(AXIS)
+            nin = 4 if self.gsa_mode else 3
+            nout = 4 if self.gsa_mode else 3
+            fn = jax.shard_map(
+                functools.partial(self._tail_enter_local, m_cap=m_cap),
+                mesh=self.mesh, in_specs=(x,) * nin,
+                out_specs=(x,) * nout + (P(),))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _tail_enter_local(self, sa_l, brow_l, active_l, eos_row=None, *, m_cap: int):
+        """Compact the active rows into the (m_cap,) tail buffers; the
+        bucket-by-row and active mask come straight from the previous
+        rebucket (no re-derivation).  In GSA mode also carries each
+        record's end-of-string bound."""
+        s, p = self.s, self.p
+        g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        active = active_l
+        # global compact position = exscan of per-shard counts + local cumsum
+        local_idx = jnp.cumsum(active.astype(jnp.int32)) - 1
+        counts = lax.all_gather(jnp.sum(active.astype(jnp.int32)), AXIS)
+        i = lax.axis_index(AXIS)
+        carry = jnp.sum(jnp.where(jnp.arange(p) < i, counts, 0))
+        pos = carry + local_idx
+        total = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
+        ok = active & (pos < m_cap)
+        sl = m_cap // p
+        cg = jnp.zeros((sl,), jnp.int32)
+        cs = jnp.zeros((sl,), jnp.int32)
+        cb = jnp.full((sl,), INT32_INF, jnp.int32)
+        vals = (g, sa_l, brow_l)
+        tgts = (cg, cs, cb)
+        if eos_row is not None:
+            vals = vals + (eos_row,)
+            tgts = tgts + (jnp.zeros((sl,), jnp.int32),)
+        out = route_scatter(pos, vals, tgts, ok, sl, p)
+        return tuple(out) + (total,)
+
+    def tail_step(self, m_cap: int):
+        key = ("tail", m_cap)
+        if key not in self._step_cache:
+            x, rr = P(AXIS), P()
+            lcp_io = (x,) if self.with_lcp else ()
+            nc = 4 if self.gsa_mode else 3
+            fn = jax.shard_map(
+                functools.partial(self._tail_step_local, m_cap=m_cap),
+                mesh=self.mesh,
+                in_specs=(x,) * nc + (x, x) + lcp_io + (rr,),
+                out_specs=(x,) * nc + (x, x) + lcp_io + (rr,))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _tail_step_local(self, cg, cs, cb, *rest, m_cap: int):
+        s, p, N = self.s, self.p, self.N
+        ce = None
+        if self.gsa_mode:
+            ce, *rest = rest
+        isa_l, sa_l, *rest = rest
+        if self.with_lcp:
+            lcp_l, d = rest
+        else:
+            (d,) = rest
+        sl = m_cap // p
+        r = lax.axis_index(AXIS).astype(jnp.int32)
+        valid = cb != INT32_INF
+
+        # sparse B2 = ISA[pos + d] from the dense ISA (0 past the end of
+        # the text / of the record's own string in GSA mode)
+        tgt = cs + d.astype(jnp.int32)
+        bound = jnp.int32(N) if ce is None else ce
+        inb = valid & (tgt < bound)
+        dest = jnp.where(inb, jnp.clip(tgt, 0, N - 1) // s, r)
+
+        def gather(recv, recv_valid):
+            (q,) = recv
+            return (isa_l[jnp.clip(q - r * s, 0, s - 1)],)
+
+        (b2,) = route_apply((jnp.where(inb, tgt, 0),), dest, gather,
+                            (jnp.int32,), p)
+        b2 = jnp.where(inb, b2, 0)
+        b2 = jnp.where(valid, b2, INT32_INF)
+
+        # sort the compacted records by (bucket, B2, row)
+        if ce is None:
+            cb_s, b2_s, cg_s, cs_s = dist_sort_local(
+                (cb, b2, cg, cs), num_keys=3, p=p)
+            ce_s = None
+        else:
+            cb_s, b2_s, cg_s, cs_s, ce_s = dist_sort_local(
+                (cb, b2, cg, cs, ce), num_keys=3, p=p)
+        valid_s = cb_s != INT32_INF
+        gi = r * sl + jnp.arange(sl, dtype=jnp.int32)
+
+        pcb = jnp.concatenate([halo_from_left(cb_s, 1, p, fill=-1), cb_s[:-1]])
+        pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
+        new_bkt = cb_s != pcb
+        new_seg = new_bkt | (b2_s != pb2)
+
+        # SA row within the (static) bucket row range [cb-1, cb-1+size)
+        bkt_start = global_cummax(jnp.where(new_bkt, gi + 1, 0), p) - 1
+        row = cb_s - 1 + (gi - bkt_start)
+        # new bucket id = row of the (cb, b2)-segment head + 1
+        b_new = global_cummax(jnp.where(new_seg, row + 1, 0), p)
+
+        nseg_h = halo_from_right(new_seg, 1, p, fill=True)
+        nseg = jnp.concatenate([new_seg[1:], nseg_h])
+        settled = new_seg & nseg
+        if ce is not None:
+            # GSA: fully-ended suffix groups (B2 == 0) can never split
+            settled = settled | (b2_s == 0)
+        ue = lax.psum(jnp.sum((valid_s & ~settled).astype(jnp.int32)), AXIS)
+
+        # scatter refined rows/ranks into the dense arrays
+        (sa_new,) = route_scatter(row, (cs_s,), (sa_l,), valid_s, s, p)
+        (isa_new,) = route_scatter(cs_s, (b_new,), (isa_l,), valid_s, s, p)
+
+        cb_out = jnp.where(valid_s & ~settled, b_new, INT32_INF)
+        outs_base = (row, cs_s, cb_out) + (() if ce is None else (ce_s,)) \
+            + (isa_new, sa_new)
+        if not self.with_lcp:
+            return outs_base + (ue,)
+
+        # LCP at new split rows (reference resolve_next_lcp semantics)
+        split = valid_s & ~new_bkt & (b2_s != pb2)
+        zerocase = split & ((pb2 == 0) | (b2_s == 0))
+        querycase = split & (pb2 != 0) & (b2_s != 0)
+        dz = jnp.broadcast_to(d.astype(jnp.int32), row.shape)
+        (lcp_l,) = route_scatter(row, (dz,), (lcp_l,), zerocase, s, p)
+        lq = jnp.minimum(pb2, b2_s)
+        rq = jnp.maximum(pb2, b2_s) - 1
+        kq = jnp.where(querycase, row, INT32_INF)
+        lcp_new = self._resolve_local(lcp_l, kq, lq, rq, d)
+        return outs_base + (lcp_new, ue)
 
 
 def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int):
@@ -315,9 +468,19 @@ def _get_builder(mesh, N, k1, k2, bits, with_lcp) -> _Builder:
 
 def encode_and_shard(text: bytes | np.ndarray, mesh,
                      config: cfg_mod.SAConfig = cfg_mod.DEFAULT):
-    """Host preprocessing: alphabet detection, encoding, pad + device_put."""
+    """Host preprocessing: alphabet detection, encoding, pad + device_put.
+
+    Byte inputs use the dense histogram alphabet; wider integer arrays use
+    the min/max ``IntAlphabet`` (reference ``alphabet_helper`` dispatch,
+    include/alphabet.hpp:509-513)."""
+    from psac_tpu.ops.alphabet import IntAlphabet
+
     p = num_shards(mesh)
-    alpha = Alphabet.from_bytes(text)
+    if isinstance(text, (bytes, bytearray)) or \
+            np.asarray(text).dtype == np.uint8:
+        alpha = Alphabet.from_bytes(text)
+    else:
+        alpha = IntAlphabet.from_array(text)
     codes = alpha.encode(text)
     n = len(codes)
     N = padded_size(max(n, 1), p, multiple=8)
@@ -337,30 +500,67 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
     k = k1 + k2
     bits = alpha.bits_per_char
 
+    from psac_tpu.utils.timers import SectionTimer
+    timer = SectionTimer(label="construct")
+
     b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp)
     outs = b._init(xs, jnp.int32(n))
     if config.construct_lcp:
-        isa, sa, lcp, ub, ue = outs
+        isa, sa, lcp, brow, active, ub, ue = outs
     else:
-        isa, sa, ub, ue = outs
+        isa, sa, brow, active, ub, ue = outs
         lcp = None
     ub = int(ub)
+    ue = int(ue)
+    timer.end_section(f"kmer-init (k={k})")
+    timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} elements={ue}")
 
     d = k
+    tail_limit = int(N * config.tail_threshold_frac)
     while ub > 0:
         if d >= 2 * N:
             raise AssertionError("doubling failed to converge")
+        if 0 < ue <= tail_limit:
+            # ---- sparse tail: process only the active elements ----
+            m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
+            cg, cs, cb, total = b.tail_enter(m_cap)(sa, brow, active)
+            if int(total) <= m_cap:
+                timer.end_section(f"tail-enter ({int(total)} active, cap {m_cap})")
+                while True:
+                    if config.construct_lcp:
+                        cg, cs, cb, isa, sa, lcp, ue = b.tail_step(m_cap)(
+                            cg, cs, cb, isa, sa, lcp, jnp.int32(d))
+                    else:
+                        cg, cs, cb, isa, sa, ue = b.tail_step(m_cap)(
+                            cg, cs, cb, isa, sa, jnp.int32(d))
+                    ue = int(ue)
+                    timer.end_section(f"tail-step d={d}")
+                    timer.info(f"d={d}: tail unfinished elements={ue}")
+                    d *= 2
+                    if ue == 0:
+                        ub = 0
+                        break
+                    if d >= 4 * N:
+                        raise AssertionError("tail failed to converge")
+                break
         q = min(d // b.s, b.p)
         if config.construct_lcp:
-            isa, sa, lcp, qkey, lq, rq, nq, ub, ue = b.step(q)(isa, lcp, jnp.int32(d))
+            isa, sa, lcp, qkey, lq, rq, nq, brow, active, ub, ue = b.step(q)(
+                isa, lcp, jnp.int32(d))
             nq = int(nq)
+            timer.end_section(f"doubling-step d={d}")
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
                 lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
+                timer.end_section(f"lcp-resolve d={d} ({nq} queries)")
         else:
-            isa, sa, ub, ue = b.step(q)(isa, jnp.int32(d))
+            isa, sa, brow, active, ub, ue = b.step(q)(isa, jnp.int32(d))
+            ub = int(ub)  # scalar readback = device sync for the timer
+            timer.end_section(f"doubling-step d={d}")
         ub = int(ub)
+        timer.info(f"d={d}: unfinished buckets={ub} elements={int(ue)}")
         d *= 2
+    timer.summary()
 
     return DeviceSuffixArray(sa=sa, lcp=lcp, isa=isa, alphabet=alpha, n=n, N=N, mesh=mesh)
 

@@ -68,3 +68,36 @@ def rand_dna(n: int, seed: int = 0) -> bytes:
     reference's ``rand_dna``, ``include/alphabet.hpp:32-45``)."""
     rng = np.random.RandomState(seed)
     return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class IntAlphabet:
+    """Alphabet over wide integer characters via global min/max (reference
+    ``int_alphabet``, include/alphabet.hpp:355-502): codes are
+    ``x - min_val + 1`` (0 reserved for the sentinel)."""
+
+    min_val: int
+    max_val: int
+    bits_per_char: int
+
+    @property
+    def sigma(self) -> int:
+        return self.max_val - self.min_val + 1
+
+    @staticmethod
+    def from_array(arr: np.ndarray) -> "IntAlphabet":
+        a = np.asarray(arr)
+        if a.size == 0:
+            return IntAlphabet(min_val=0, max_val=0, bits_per_char=1)
+        lo, hi = int(a.min()), int(a.max())
+        sigma = hi - lo + 1
+        if sigma >= (1 << 30):
+            raise ValueError(f"int alphabet too large: {sigma}")
+        return IntAlphabet(min_val=lo, max_val=hi,
+                           bits_per_char=ceillog2(sigma + 1))
+
+    def encode(self, arr) -> np.ndarray:
+        return (np.asarray(arr, np.int64) - self.min_val + 1).astype(np.int32)
+
+    def decode(self, codes) -> np.ndarray:
+        return np.asarray(codes, np.int64) + self.min_val - 1

@@ -23,7 +23,7 @@ def suffix_array_naive(text: bytes) -> np.ndarray:
 
 def suffix_array_np(text: bytes | np.ndarray) -> np.ndarray:
     """O(n log^2 n) prefix-doubling with np.lexsort (sequential oracle)."""
-    t = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text, np.uint8)
+    t = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text)
     n = len(t)
     if n == 0:
         return np.zeros(0, np.int64)
@@ -50,7 +50,7 @@ def lcp_kasai(text: bytes | np.ndarray, sa: np.ndarray) -> np.ndarray:
     Returns LCP with the reference convention LCP[0] = 0,
     LCP[i] = lcp(S[SA[i-1]..], S[SA[i]..]).
     """
-    t = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text, np.uint8)
+    t = np.frombuffer(text, dtype=np.uint8) if isinstance(text, (bytes, bytearray)) else np.asarray(text)
     n = len(t)
     sa = np.asarray(sa, np.int64)
     rank = np.empty(n, np.int64)

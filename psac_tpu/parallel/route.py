@@ -33,8 +33,13 @@ def _bucket_by_dest(dest, p: int):
     order = jnp.argsort(dest, stable=True)
     dsort = dest[order]
     # slot within the destination bucket = position - start of the run
-    start = jnp.searchsorted(dsort, dsort, side="left")
-    slot = jnp.arange(m, dtype=jnp.int32) - start.astype(jnp.int32)
+    # (runs are contiguous in dsort; cummax of the run-start positions —
+    # NOT searchsorted, which lowers to a ~20x slower kernel on TPU)
+    i = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), dsort[1:] != dsort[:-1]])
+    start = lax.cummax(jnp.where(is_start, i, 0))
+    slot = i - start
     flat_pos = dsort.astype(jnp.int32) * m + slot
     return order, dsort, flat_pos
 
@@ -53,6 +58,9 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int):
       tuple of (m, ...) answer arrays aligned with the original record order.
     """
     m = dest.shape[0]
+    if p == 1:
+        # single shard: every record is already at its owner
+        return answer_fn(tuple(payloads), jnp.ones((m,), jnp.bool_))
     order, dsort, flat_pos = _bucket_by_dest(dest, p)
     buf_len = p * m
 
@@ -97,6 +105,31 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     """
     m = dest_idx.shape[0]
     safe_idx = jnp.where(valid, dest_idx, 0)
+    combine = combine or ("set",) * len(targets)
+    if p == 1:
+        # invalid records land on the drop slot s, so no old-value reads
+        loc = jnp.where(valid, safe_idx, s)
+        if (all(h == "set" for h in combine) and len(targets) > 1
+                and len({t.dtype for t in targets}) == 1):
+            # one multi-column scatter instead of len(targets) passes
+            padded = jnp.stack(
+                [jnp.concatenate([t, jnp.zeros((1,), t.dtype)]) for t in targets],
+                axis=1)
+            padded = padded.at[loc].set(jnp.stack(values, axis=1))
+            return tuple(padded[:s, j] for j in range(len(targets)))
+        outs = []
+        for tgt, v, how in zip(targets, values, combine):
+            padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
+            if how == "set":
+                padded = padded.at[loc].set(v)
+            elif how == "min":
+                padded = padded.at[loc].min(v)
+            elif how == "max":
+                padded = padded.at[loc].max(v)
+            else:
+                raise ValueError(how)
+            outs.append(padded[:s])
+        return tuple(outs)
     dest = (safe_idx // s).astype(jnp.int32)
     order, dsort, flat_pos = _bucket_by_dest(dest, p)
     buf_len = p * m
@@ -117,15 +150,15 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     loc = recv[0] - base
     loc = jnp.where(recv_valid, loc, s)  # out-of-range drop slot
     outs = []
-    combine = combine or ("set",) * len(targets)
     for tgt, v, how in zip(targets, recv[1:], combine):
         padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
+        # invalid records land on the drop slot s; no old-value reads needed
         if how == "set":
-            padded = padded.at[loc].set(jnp.where(recv_valid, v, padded[loc]))
+            padded = padded.at[loc].set(v)
         elif how == "min":
-            padded = padded.at[loc].min(jnp.where(recv_valid, v, padded[loc]))
+            padded = padded.at[loc].min(v)
         elif how == "max":
-            padded = padded.at[loc].max(jnp.where(recv_valid, v, padded[loc]))
+            padded = padded.at[loc].max(v)
         else:
             raise ValueError(how)
         outs.append(padded[:s])

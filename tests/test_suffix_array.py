@@ -87,3 +87,18 @@ def test_n_smaller_than_p(mesh8):
 def test_sa_only(mesh8):
     res = check(rand_dna(500, seed=2), mesh8, lcp=False)
     assert res.lcp is None
+
+
+def test_int_alphabet(mesh8):
+    """Wide integer characters (reference int_alphabet, test_psac.cpp)."""
+    import numpy as np
+    from psac_tpu.models.suffix_array import build_suffix_array
+    from psac_tpu.ops.oracle import lcp_kasai, suffix_array_np
+
+    rng = np.random.RandomState(0)
+    for vals in [rng.randint(1, 1 << 16, size=997).astype(np.int32),
+                 rng.randint(10**5, 10**5 + 17, size=2000).astype(np.int64)]:
+        res = build_suffix_array(vals, mesh=mesh8)
+        want = suffix_array_np(vals)
+        np.testing.assert_array_equal(res.sa, want)
+        np.testing.assert_array_equal(res.lcp, lcp_kasai(vals, want))
