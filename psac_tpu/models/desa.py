@@ -176,9 +176,11 @@ class DESA:
                         bits=self.alphabet.bits_per_char,
                         rmq_block=self.rmq_block),
                     mesh=self.mesh,
-                    in_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS), P(AXIS),
-                              P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                              P(None, AXIS), P(None, AXIS), P(AXIS)),
+                    # (mat, lens, table, begins, sa, lcp, lc,
+                    #  pref_v/a, suff_v/a, tab_v/a, sm_v/a, xs)
+                    in_specs=(P(AXIS), P(AXIS), P(), P())
+                             + (P(AXIS),) * 3 + (P(AXIS),) * 4
+                             + (P(None, AXIS),) * 4 + (P(AXIS),),
                     out_specs=(P(AXIS), P(AXIS)))
             else:
                 fn = jax.shard_map(
@@ -189,8 +191,8 @@ class DESA:
                         m_samp=self.samp["m"], M_samp=self.samp["M"],
                         samp_block=self.samp["block"]),
                     mesh=self.mesh,
-                    in_specs=(P(AXIS), P(AXIS)) + (P(),) * 9 + (P(),)
-                             + (P(AXIS),) * 7 + (P(None, AXIS),) * 2
+                    in_specs=(P(AXIS), P(AXIS)) + (P(),) * 11 + (P(),)
+                             + (P(AXIS),) * 7 + (P(None, AXIS),) * 4
                              + (P(AXIS),),
                     out_specs=(P(AXIS), P(AXIS)))
             self._query_cache[key] = jax.jit(fn)
@@ -291,11 +293,12 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
         d_lcp = jax.device_put(samp_lcp, rep)
         d_lc = jax.device_put(samp_lc, rep)
         d_off = jax.device_put(off_ext, rep)
-        def _rmq6(a):
+        def _rmq8(a):
             r = build_arg_rmq(a)
-            return r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a
+            return (r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a,
+                    r.sm_v, r.sm_a)
 
-        srmq = jax.jit(_rmq6)(d_lcp)
+        srmq = jax.jit(_rmq8)(d_lcp)
         from psac_tpu.ops.rmq import block_size_for as _bsf
         samp = {"off_ext": d_off, "lcp": d_lcp, "lc": d_lc,
                 "rmq": tuple(srmq), "block": _bsf(M), "m": m, "M": M}
@@ -314,13 +317,14 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
 
     def rmq_build(lcp_l):
         r = build_arg_rmq(lcp_l)
-        return r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a
+        return (r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a,
+                r.sm_v, r.sm_a)
 
     from psac_tpu.ops.rmq import block_size_for
     block = block_size_for(cap)
     rmq_parts = jax.jit(jax.shard_map(
         rmq_build, mesh=mesh, in_specs=(P(AXIS),),
-        out_specs=(P(AXIS),) * 4 + (P(None, AXIS),) * 2))(lcp_slab)
+        out_specs=(P(AXIS),) * 4 + (P(None, AXIS),) * 4))(lcp_slab)
 
     return DESA(mesh=mesh, alphabet=alpha, n=n, N=N, k=k, table=table,
                 begins=begins, begins_np=begins_np, cap=cap,
@@ -434,7 +438,8 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
 
 
 def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
-                       pref_v, pref_a, suff_v, suff_a, tab_v, tab_a, xs_l, *,
+                       pref_v, pref_a, suff_v, suff_a, tab_v, tab_a,
+                       sm_v, sm_a, xs_l, *,
                        b: int, Lmax: int, p: int, n: int, s: int, k: int,
                        bits: int, cap: int, rmq_block: int):
     r_rank = lax.axis_index(AXIS).astype(jnp.int32)
@@ -446,7 +451,7 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
 
     rmq = ArgLocalRMQ(x=lcp_slab, pref_v=pref_v, pref_a=pref_a,
                       suff_v=suff_v, suff_a=suff_a, tab_v=tab_v, tab_a=tab_a,
-                      block=rmq_block)
+                      sm_v=sm_v, sm_a=sm_a, block=rmq_block)
 
     def answer(recv, recv_valid):
         rp, rlen, rlo, rhi = recv
@@ -548,8 +553,10 @@ def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
 
 def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
                             s_pref_v, s_pref_a, s_suff_v, s_suff_a, s_tab_v,
-                            s_tab_a, begins, sa_slab, lcp_slab, lc_slab,
+                            s_tab_a, s_sm_v, s_sm_a, begins,
+                            sa_slab, lcp_slab, lc_slab,
                             pref_v, pref_a, suff_v, suff_a, tab_v, tab_a,
+                            sm_v, sm_a,
                             xs_l, *, b: int, Lmax: int, p: int, n: int,
                             s: int, cap: int, rmq_block: int, m_samp: int,
                             M_samp: int, samp_block: int):
@@ -563,7 +570,8 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
 
     srmq = ArgLocalRMQ(x=samp_lcp, pref_v=s_pref_v, pref_a=s_pref_a,
                        suff_v=s_suff_v, suff_a=s_suff_a, tab_v=s_tab_v,
-                       tab_a=s_tab_a, block=samp_block)
+                       tab_a=s_tab_a, sm_v=s_sm_v, sm_a=s_sm_a,
+                       block=samp_block)
     zero = jnp.zeros_like(lens_l)
     topr = zero + jnp.int32(m_samp - 1)
     need0 = lens_l > 0
@@ -578,7 +586,7 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
 
     rmq = ArgLocalRMQ(x=lcp_slab, pref_v=pref_v, pref_a=pref_a,
                       suff_v=suff_v, suff_a=suff_a, tab_v=tab_v, tab_a=tab_a,
-                      block=rmq_block)
+                      sm_v=sm_v, sm_a=sm_a, block=rmq_block)
 
     def answer(recv, recv_valid):
         rp, rlen, rlo, rhi, rfin = recv

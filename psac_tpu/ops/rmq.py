@@ -2,11 +2,11 @@
 
 TPU-first reformulation of the reference's 3-level succinct RMQ
 (``include/rmq.hpp:37-339``): fixed-size blocks with per-block prefix/suffix
-minima, plus a doubling sparse table over the block minima. A batch of q
-queries is answered with O(1) vector lookups per query; ranges inside one
-block fall back to a masked window min (one (q, block) dynamic-slice gather).
+minima, a doubling sparse table over the block minima, and an in-block
+doubling table so every query — same-block or cross-block — is O(1) vector
+gathers.
 
-Memory: 3n + (n/block)·log(n/block) words — no O(n log n) table.
+Memory: (3 + log2(block))·n + (n/block)·log(n/block) words.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ class LocalRMQ:
     pref: jax.Array       # (s,) min over [block_start, i]
     suff: jax.Array       # (s,) min over [i, block_end)
     table: jax.Array      # (L, nb) sparse table over block minima; level 0 = block mins
+    small: jax.Array      # (Lb, s) in-block doubling mins: small[j][i] = min(x[i:i+2^j])
     block: int
 
     @property
@@ -60,7 +61,16 @@ def build_local_rmq(x, block: int | None = None) -> LocalRMQ:
         w = 1 << (j - 1)
         shifted = jnp.concatenate([prev[w:], jnp.full((min(w, nb),), INT32_INF, prev.dtype)])[:nb]
         rows.append(jnp.minimum(prev, shifted))
-    return LocalRMQ(x=x, pref=pref, suff=suff, table=jnp.stack(rows), block=block)
+    # in-block doubling table: same-block queries become two O(1) gathers
+    # (the (q, block) windowed-gather alternative costs ~20x more on TPU)
+    sm = [x]
+    for j in range(1, max(1, block.bit_length())):
+        prev = sm[-1]
+        w = 1 << (j - 1)
+        shifted = jnp.concatenate([prev[w:], jnp.full((min(w, s),), INT32_INF, prev.dtype)])[:s]
+        sm.append(jnp.minimum(prev, shifted))
+    return LocalRMQ(x=x, pref=pref, suff=suff, table=jnp.stack(rows),
+                    small=jnp.stack(sm), block=block)
 
 
 def _floor_log2(v):
@@ -73,14 +83,16 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     lo, hi: (q,) int32. Returns (q,) int32 minima.
     """
     block, nb = rmq.block, rmq.nb
+    s = rmq.s
     bl = lo // block
     bh = hi // block
-    # --- same-block path: masked min over the block window
-    starts = (bl * block).astype(jnp.int32)
-    windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)  # (q, block)
-    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
-    in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
-    same_min = jnp.min(jnp.where(in_range, windows, INT32_INF), axis=1)
+    # --- same-block path: classic two-lookup doubling query
+    length = hi - lo + 1
+    slev = _floor_log2(length)
+    sflat = rmq.small.reshape(-1)
+    s1 = sflat[jnp.clip(slev * s + lo, 0, sflat.shape[0] - 1)]
+    s2 = sflat[jnp.clip(slev * s + hi - (1 << slev) + 1, 0, sflat.shape[0] - 1)]
+    same_min = jnp.minimum(s1, s2)
     # --- cross-block path: suff[lo] /\ table-range(bl+1, bh-1) /\ pref[hi]
     a = bl + 1
     b = bh - 1
@@ -112,11 +124,17 @@ class ArgLocalRMQ:
     suff_a: jax.Array
     tab_v: jax.Array   # (L, nb)
     tab_a: jax.Array   # (L, nb)
+    sm_v: jax.Array    # (Lb, s) in-block doubling (value, leftmost index)
+    sm_a: jax.Array
     block: int
 
     @property
     def nb(self) -> int:
         return self.tab_v.shape[1]
+
+    @property
+    def s(self) -> int:
+        return self.x.shape[0]
 
 
 def _argmin_op(a, b):
@@ -154,9 +172,21 @@ def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
         v, a = _argmin_op((pv, pa), (sv, sa_))
         rows_v.append(v)
         rows_a.append(a)
+    flat_idx = jnp.arange(s, dtype=jnp.int32)
+    sm_v = [x]
+    sm_a = [flat_idx]
+    for j in range(1, max(1, block.bit_length())):
+        w = 1 << (j - 1)
+        pv, pa = sm_v[-1], sm_a[-1]
+        sv = jnp.concatenate([pv[w:], jnp.full((min(w, s),), INT32_INF, pv.dtype)])[:s]
+        sa2 = jnp.concatenate([pa[w:], jnp.zeros((min(w, s),), pa.dtype)])[:s]
+        v, a = _argmin_op((pv, pa), (sv, sa2))
+        sm_v.append(v)
+        sm_a.append(a)
     return ArgLocalRMQ(x=x, pref_v=pref_v.reshape(s), pref_a=pref_a.reshape(s),
                        suff_v=suff_v.reshape(s), suff_a=suff_a.reshape(s),
                        tab_v=jnp.stack(rows_v), tab_a=jnp.stack(rows_a),
+                       sm_v=jnp.stack(sm_v), sm_a=jnp.stack(sm_a),
                        block=block)
 
 
@@ -165,16 +195,17 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
 
     lo, hi: (q,) int32 with 0 <= lo <= hi < s. Returns (q,) int32 indices.
     """
-    block, nb = rmq.block, rmq.nb
+    block, nb, s = rmq.block, rmq.nb, rmq.s
     bl = lo // block
     bh = hi // block
-    # same-block path
-    starts = (bl * block).astype(jnp.int32)
-    windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)
-    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
-    in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
-    masked = jnp.where(in_range, windows, INT32_INF)
-    same_arg = starts + jnp.argmin(masked, axis=1).astype(jnp.int32)
+    # same-block path: two in-block doubling lookups
+    length = hi - lo + 1
+    slev = _floor_log2(length)
+    smv = rmq.sm_v.reshape(-1)
+    sma = rmq.sm_a.reshape(-1)
+    i1s = jnp.clip(slev * s + lo, 0, smv.shape[0] - 1)
+    i2s = jnp.clip(slev * s + hi - (1 << slev) + 1, 0, smv.shape[0] - 1)
+    _, same_arg = _argmin_op((smv[i1s], sma[i1s]), (smv[i2s], sma[i2s]))
     # cross-block path: suffix of lo's block, middle blocks, prefix of hi's
     a = bl + 1
     b = bh - 1

@@ -107,16 +107,10 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     safe_idx = jnp.where(valid, dest_idx, 0)
     combine = combine or ("set",) * len(targets)
     if p == 1:
-        # invalid records land on the drop slot s, so no old-value reads
+        # invalid records land on the drop slot s, so no old-value reads.
+        # NB: separate 1-D scatters — a multi-column row scatter lowers
+        # ~13x slower on TPU for large targets.
         loc = jnp.where(valid, safe_idx, s)
-        if (all(h == "set" for h in combine) and len(targets) > 1
-                and len({t.dtype for t in targets}) == 1):
-            # one multi-column scatter instead of len(targets) passes
-            padded = jnp.stack(
-                [jnp.concatenate([t, jnp.zeros((1,), t.dtype)]) for t in targets],
-                axis=1)
-            padded = padded.at[loc].set(jnp.stack(values, axis=1))
-            return tuple(padded[:s, j] for j in range(len(targets)))
         outs = []
         for tgt, v, how in zip(targets, values, combine):
             padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
