@@ -41,6 +41,9 @@ class SAConfig:
         ``suffix_array.hpp:424``).
       tail_capacity_mult: padded capacity multiplier for the compacted
         active set in the sparse tail.
+      factor: prefix-multiplication factor per dense iteration: 2 = classic
+        doubling; 3/4 = the reference's ``construct_arr<L>`` tripling/
+        quadrupling (SA-only; no LCP support, as in the reference).
     """
 
     construct_lcp: bool = True
@@ -48,6 +51,7 @@ class SAConfig:
     k: int = 0
     tail_threshold_frac: float = 0.1
     tail_capacity_mult: float = 1.25
+    factor: int = 2
 
 
 DEFAULT = SAConfig()

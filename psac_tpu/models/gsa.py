@@ -273,15 +273,15 @@ def build_gsa_device(strings, mesh=None,
         if brow is not None and 0 < ue <= tail_limit:
             # ---- eos-aware sparse tail (reference construct_msgs_gsa) ----
             m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
-            cg, cs, cb, ce, total = b.tail_enter(m_cap)(sa, brow, active, eos_row)
+            cs, cb, ce, total = b.tail_enter(m_cap)(sa, brow, active, eos_row)
             if int(total) <= m_cap:
                 while ue > 0:
                     if config.construct_lcp:
-                        cg, cs, cb, ce, isa, sa, lcp, ue = b.tail_step(m_cap)(
-                            cg, cs, cb, ce, isa, sa, lcp, jnp.int32(d))
+                        cs, cb, ce, isa, sa, lcp, ue = b.tail_step(m_cap)(
+                            cs, cb, ce, isa, sa, lcp, jnp.int32(d))
                     else:
-                        cg, cs, cb, ce, isa, sa, ue = b.tail_step(m_cap)(
-                            cg, cs, cb, ce, isa, sa, jnp.int32(d))
+                        cs, cb, ce, isa, sa, ue = b.tail_step(m_cap)(
+                            cs, cb, ce, isa, sa, jnp.int32(d))
                     ue = int(ue)
                     d *= 2
                     if d >= 8 * N:

@@ -197,6 +197,41 @@ class _Builder:
             self._step_cache[q] = jax.jit(fn)
         return self._step_cache[q]
 
+    # ---------------- prefix-L-pling step (reference construct_arr<L>) ----
+
+    def step_arr(self, qs: tuple):
+        """Jitted prefix-L-pling step: sort by (B, B[i+d], ..., B[i+(L-1)d]).
+
+        Reference ``construct_arr<L>`` (include/suffix_array.hpp:488-641):
+        L-1 shifts per iteration triple/quadruple the covered prefix, no LCP
+        support. ``qs`` are the static shard-distances of the L-1 shifts.
+        """
+        key = ("arr",) + tuple(qs)
+        if key not in self._step_cache:
+            x, r = P(AXIS), P()
+            fn = jax.shard_map(
+                functools.partial(self._step_arr_local, qs=tuple(qs)),
+                mesh=self.mesh,
+                in_specs=(x, r),
+                out_specs=(x, x, x, x, r, r))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _step_arr_local(self, isa_l, d, *, qs: tuple):
+        s, p, N = self.s, self.p, self.N
+        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        keys = [isa_l]
+        for j, qj in enumerate(qs, start=1):
+            keys.append(global_shift_left(isa_l, jnp.int32(j) * d, qj, p))
+        sorted_ops = dist_sort_local(tuple(keys) + (gidx,), num_keys=len(keys), p=p)
+        sa = sorted_ops[-1]
+        newb = jnp.zeros((s,), jnp.bool_)
+        for ks in sorted_ops[:-1]:
+            prev = jnp.concatenate([halo_from_left(ks, 1, p, fill=-1), ks[:-1]])
+            newb = newb | (ks != prev)
+        isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
+        return (isa_new, sa, b_new, active) + counts
+
     def _step_local(self, isa_l, *rest, q: int):
         s, p, N = self.s, self.p, self.N
         if self.with_lcp:
@@ -251,7 +286,9 @@ class _Builder:
 
     def _resolve_local(self, lcp_l, kq, lq, rq, d):
         s, p = self.s, self.p
-        rmq = build_local_rmq(lcp_l)
+        # the in-block table costs O(s log block) to build: only worth it
+        # when this call answers many queries
+        rmq = build_local_rmq(lcp_l, with_small=kq.shape[0] >= 65536)
         smins = shard_minima(lcp_l, p)
         valid = kq != INT32_INF
         mins = bulk_rmq_local(rmq, smins, lq, rq, valid, s, p)
@@ -278,7 +315,7 @@ class _Builder:
         if key not in self._step_cache:
             x = P(AXIS)
             nin = 4 if self.gsa_mode else 3
-            nout = 4 if self.gsa_mode else 3
+            nout = 3 if self.gsa_mode else 2
             fn = jax.shard_map(
                 functools.partial(self._tail_enter_local, m_cap=m_cap),
                 mesh=self.mesh, in_specs=(x,) * nin,
@@ -303,11 +340,13 @@ class _Builder:
         total = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
         ok = active & (pos < m_cap)
         sl = m_cap // p
-        cg = jnp.zeros((sl,), jnp.int32)
         cs = jnp.zeros((sl,), jnp.int32)
         cb = jnp.full((sl,), INT32_INF, jnp.int32)
-        vals = (g, sa_l, brow_l)
-        tgts = (cg, cs, cb)
+        # no row field: the compact set stays in row order, and ties inside
+        # a (bucket, B2) group sort by position cs — the same deterministic
+        # order the dense sort produces
+        vals = (sa_l, brow_l)
+        tgts = (cs, cb)
         if eos_row is not None:
             vals = vals + (eos_row,)
             tgts = tgts + (jnp.zeros((sl,), jnp.int32),)
@@ -319,7 +358,7 @@ class _Builder:
         if key not in self._step_cache:
             x, rr = P(AXIS), P()
             lcp_io = (x,) if self.with_lcp else ()
-            nc = 4 if self.gsa_mode else 3
+            nc = 3 if self.gsa_mode else 2
             fn = jax.shard_map(
                 functools.partial(self._tail_step_local, m_cap=m_cap),
                 mesh=self.mesh,
@@ -328,7 +367,7 @@ class _Builder:
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
-    def _tail_step_local(self, cg, cs, cb, *rest, m_cap: int):
+    def _tail_step_local(self, cs, cb, *rest, m_cap: int):
         s, p, N = self.s, self.p, self.N
         ce = None
         if self.gsa_mode:
@@ -358,14 +397,13 @@ class _Builder:
         b2 = jnp.where(inb, b2, 0)
         b2 = jnp.where(valid, b2, INT32_INF)
 
-        # sort the compacted records by (bucket, B2, row)
+        # sort the compacted records by (bucket, B2, position)
         if ce is None:
-            cb_s, b2_s, cg_s, cs_s = dist_sort_local(
-                (cb, b2, cg, cs), num_keys=3, p=p)
+            cb_s, b2_s, cs_s = dist_sort_local((cb, b2, cs), num_keys=3, p=p)
             ce_s = None
         else:
-            cb_s, b2_s, cg_s, cs_s, ce_s = dist_sort_local(
-                (cb, b2, cg, cs, ce), num_keys=3, p=p)
+            cb_s, b2_s, cs_s, ce_s = dist_sort_local(
+                (cb, b2, cs, ce), num_keys=3, p=p)
         valid_s = cb_s != INT32_INF
         gi = r * sl + jnp.arange(sl, dtype=jnp.int32)
 
@@ -393,7 +431,7 @@ class _Builder:
         (isa_new,) = route_scatter(cs_s, (b_new,), (isa_l,), valid_s, s, p)
 
         cb_out = jnp.where(valid_s & ~settled, b_new, INT32_INF)
-        outs_base = (row, cs_s, cb_out) + (() if ce is None else (ce_s,)) \
+        outs_base = (cs_s, cb_out) + (() if ce is None else (ce_s,)) \
             + (isa_new, sa_new)
         if not self.with_lcp:
             return outs_base + (ue,)
@@ -523,16 +561,16 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         if 0 < ue <= tail_limit:
             # ---- sparse tail: process only the active elements ----
             m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
-            cg, cs, cb, total = b.tail_enter(m_cap)(sa, brow, active)
+            cs, cb, total = b.tail_enter(m_cap)(sa, brow, active)
             if int(total) <= m_cap:
                 timer.end_section(f"tail-enter ({int(total)} active, cap {m_cap})")
                 while True:
                     if config.construct_lcp:
-                        cg, cs, cb, isa, sa, lcp, ue = b.tail_step(m_cap)(
-                            cg, cs, cb, isa, sa, lcp, jnp.int32(d))
+                        cs, cb, isa, sa, lcp, ue = b.tail_step(m_cap)(
+                            cs, cb, isa, sa, lcp, jnp.int32(d))
                     else:
-                        cg, cs, cb, isa, sa, ue = b.tail_step(m_cap)(
-                            cg, cs, cb, isa, sa, jnp.int32(d))
+                        cs, cb, isa, sa, ue = b.tail_step(m_cap)(
+                            cs, cb, isa, sa, jnp.int32(d))
                     ue = int(ue)
                     timer.end_section(f"tail-step d={d}")
                     timer.info(f"d={d}: tail unfinished elements={ue}")
@@ -543,6 +581,15 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
                     if d >= 4 * N:
                         raise AssertionError("tail failed to converge")
                 break
+        if not config.construct_lcp and config.factor > 2:
+            qs = tuple(min(j * d // b.s, b.p) for j in range(1, config.factor))
+            isa, sa, brow, active, ub, ue = b.step_arr(qs)(isa, jnp.int32(d))
+            ub = int(ub)
+            timer.end_section(f"{config.factor}-pling-step d={d}")
+            ue = int(ue)
+            timer.info(f"d={d}: unfinished buckets={ub} elements={ue}")
+            d *= config.factor
+            continue
         q = min(d // b.s, b.p)
         if config.construct_lcp:
             isa, sa, lcp, qkey, lq, rq, nq, brow, active, ub, ue = b.step(q)(
@@ -558,7 +605,8 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
             ub = int(ub)  # scalar readback = device sync for the timer
             timer.end_section(f"doubling-step d={d}")
         ub = int(ub)
-        timer.info(f"d={d}: unfinished buckets={ub} elements={int(ue)}")
+        ue = int(ue)
+        timer.info(f"d={d}: unfinished buckets={ub} elements={ue}")
         d *= 2
     timer.summary()
 

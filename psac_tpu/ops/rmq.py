@@ -35,7 +35,7 @@ class LocalRMQ:
     pref: jax.Array       # (s,) min over [block_start, i]
     suff: jax.Array       # (s,) min over [i, block_end)
     table: jax.Array      # (L, nb) sparse table over block minima; level 0 = block mins
-    small: jax.Array      # (Lb, s) in-block doubling mins: small[j][i] = min(x[i:i+2^j])
+    small: jax.Array | None  # (Lb, s) in-block doubling mins (optional)
     block: int
 
     @property
@@ -47,7 +47,11 @@ class LocalRMQ:
         return self.table.shape[1]
 
 
-def build_local_rmq(x, block: int | None = None) -> LocalRMQ:
+def build_local_rmq(x, block: int | None = None,
+                    with_small: bool = True) -> LocalRMQ:
+    """``with_small=False`` skips the (log2(block)+1, s) in-block table —
+    right when the query count is small (the windowed fallback is cheaper
+    than the O(s log block) build)."""
     s = x.shape[0]
     block = block or block_size_for(s)
     nb = s // block
@@ -63,14 +67,17 @@ def build_local_rmq(x, block: int | None = None) -> LocalRMQ:
         rows.append(jnp.minimum(prev, shifted))
     # in-block doubling table: same-block queries become two O(1) gathers
     # (the (q, block) windowed-gather alternative costs ~20x more on TPU)
-    sm = [x]
-    for j in range(1, max(1, block.bit_length())):
-        prev = sm[-1]
-        w = 1 << (j - 1)
-        shifted = jnp.concatenate([prev[w:], jnp.full((min(w, s),), INT32_INF, prev.dtype)])[:s]
-        sm.append(jnp.minimum(prev, shifted))
+    small = None
+    if with_small:
+        sm = [x]
+        for j in range(1, max(1, block.bit_length())):
+            prev = sm[-1]
+            w = 1 << (j - 1)
+            shifted = jnp.concatenate([prev[w:], jnp.full((min(w, s),), INT32_INF, prev.dtype)])[:s]
+            sm.append(jnp.minimum(prev, shifted))
+        small = jnp.stack(sm)
     return LocalRMQ(x=x, pref=pref, suff=suff, table=jnp.stack(rows),
-                    small=jnp.stack(sm), block=block)
+                    small=small, block=block)
 
 
 def _floor_log2(v):
@@ -86,13 +93,21 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     s = rmq.s
     bl = lo // block
     bh = hi // block
-    # --- same-block path: classic two-lookup doubling query
-    length = hi - lo + 1
-    slev = _floor_log2(length)
-    sflat = rmq.small.reshape(-1)
-    s1 = sflat[jnp.clip(slev * s + lo, 0, sflat.shape[0] - 1)]
-    s2 = sflat[jnp.clip(slev * s + hi - (1 << slev) + 1, 0, sflat.shape[0] - 1)]
-    same_min = jnp.minimum(s1, s2)
+    if rmq.small is not None:
+        # --- same-block path: classic two-lookup doubling query
+        length = hi - lo + 1
+        slev = _floor_log2(length)
+        sflat = rmq.small.reshape(-1)
+        s1 = sflat[jnp.clip(slev * s + lo, 0, sflat.shape[0] - 1)]
+        s2 = sflat[jnp.clip(slev * s + hi - (1 << slev) + 1, 0, sflat.shape[0] - 1)]
+        same_min = jnp.minimum(s1, s2)
+    else:
+        # small-query fallback: masked window min (one (q, block) gather)
+        starts = (bl * block).astype(jnp.int32)
+        windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)
+        offs = jnp.arange(block, dtype=jnp.int32)[None, :]
+        in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
+        same_min = jnp.min(jnp.where(in_range, windows, INT32_INF), axis=1)
     # --- cross-block path: suff[lo] /\ table-range(bl+1, bh-1) /\ pref[hi]
     a = bl + 1
     b = bh - 1

@@ -102,3 +102,18 @@ def test_int_alphabet(mesh8):
         want = suffix_array_np(vals)
         np.testing.assert_array_equal(res.sa, want)
         np.testing.assert_array_equal(res.lcp, lcp_kasai(vals, want))
+
+
+@pytest.mark.parametrize("factor", [3, 4])
+def test_prefix_lpling(mesh8, factor):
+    """construct_arr<L> analogue: tripling/quadrupling, SA-only."""
+    import numpy as np
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_array import build_suffix_array
+    from psac_tpu.ops.alphabet import rand_dna
+    from psac_tpu.ops.oracle import suffix_array_np
+
+    conf = cfg.SAConfig(construct_lcp=False, factor=factor)
+    for text in [rand_dna(5000, seed=factor), b"abab" * 600, b"a" * 300]:
+        res = build_suffix_array(text, mesh=mesh8, config=conf)
+        np.testing.assert_array_equal(res.sa, suffix_array_np(text))
