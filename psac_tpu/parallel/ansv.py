@@ -190,7 +190,56 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
     return idx, val
 
 
+def _left_match_local_only(x, s: int, typ: int):
+    """Walk-based local-only matches (single-shard semantics)."""
+    table = build_min_table(x)
+    i_loc = jnp.arange(s, dtype=jnp.int32)
+    v = x
+    if typ != FURTHEST_EQ:
+        jl = prev_lt(table, i_loc, v, strict=(typ == NEAREST_SM))
+        found = jl >= 0
+        return (jnp.where(found, jl, NONSV),
+                jnp.where(found, x[jnp.maximum(jl, 0)], 0))
+    jstar = prev_lt(table, i_loc, v, strict=True)
+    e_loc = next_leq(table, jstar + 1, v)
+    has_eq = e_loc < i_loc
+    jsafe = jnp.maximum(jstar, 0)
+    v2 = x[jsafe]
+    j0 = prev_lt(table, jsafe + 1, v2, strict=True) + 1
+    eh = jnp.minimum(next_leq(table, j0, v2), s - 1)
+    idx = jnp.where(has_eq, e_loc,
+                    jnp.where(jstar >= 0, eh, NONSV))
+    val = jnp.where(has_eq, v, jnp.where(jstar >= 0, v2, 0))
+    return idx, jnp.where(idx == NONSV, 0, val)
+
+
+def _left_match_p1(x, s: int, typ: int):
+    """Single-shard fast path: Pallas run-stack scan on TPU (with a
+    lax.cond walk fallback for pathological stack overflows); plain walks
+    on other backends (pallas interpret mode can't run inside shard_map)."""
+    if jax.default_backend() != "tpu":
+        return _left_match_local_only(x, s, typ)
+
+    from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_left
+
+    pad = (-s) % CHUNK
+    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+    idx, val, ovf = nsv_scan_left(xp, typ, False, (AXIS,))
+    idx = idx[:s]
+    val = val[:s]
+
+    def scan_res(_):
+        return jnp.where(idx < 0, NONSV, idx), jnp.where(idx < 0, 0, val)
+
+    def walk_res(_):
+        return _left_match_local_only(x, s, typ)
+
+    return lax.cond(ovf == 0, scan_res, walk_res, None)
+
+
 def _left_match(x, s: int, p: int, typ: int):
+    if p == 1:
+        return _left_match_p1(x, s, typ)
     table = build_min_table(x)
     sm = lax.all_gather(jnp.min(x), AXIS)
     if typ == FURTHEST_EQ:

@@ -90,3 +90,16 @@ def test_furthest_eq_is_canonical(mesh8):
         s = left[i]
         if s < n and left[s] < n:
             assert a[left[s]] < a[s]
+
+
+@pytest.mark.parametrize("lt", TYPES)
+@pytest.mark.parametrize("rt", TYPES)
+def test_dist_vs_oracle_single_shard(mesh1, lt, rt):
+    """p==1 exercises the Pallas run-stack scan path (interpret mode on CPU)."""
+    from psac_tpu.parallel.ansv import ansv
+    for name, a in inputs():
+        n = len(a)
+        want_l, want_r = ansv_seq(a, lt, rt, nonsv=n)
+        got_l, got_r = ansv(a, lt, rt, mesh=mesh1)
+        np.testing.assert_array_equal(got_l, want_l, err_msg=f"left {name}")
+        np.testing.assert_array_equal(got_r, want_r, err_msg=f"right {name}")
