@@ -19,6 +19,17 @@ sets, and the DESA distributed pattern-matching index), built TPU-first:
 See SURVEY.md for the structural map of the reference this re-implements.
 """
 
+import os as _os
+
+if _os.environ.get("PSAC_NO_COMPILE_CACHE", "0") in ("", "0"):
+    # first compiles of the shard_map steps take tens of seconds; persist
+    # them across processes (opt out with PSAC_NO_COMPILE_CACHE=1)
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/jax_psac"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from psac_tpu.models.suffix_array import SuffixArray, build_suffix_array  # noqa: F401

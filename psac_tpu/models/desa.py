@@ -221,7 +221,16 @@ def _partition_from_prefix(ps: np.ndarray, n: int, p: int):
     begins_np = np.zeros(p, np.int64)
     begins_np[1:] = ps[cuts]
     ends = np.concatenate([begins_np[1:], [n]])
-    cap = max(8, -(-int((ends - begins_np).max()) // 8) * 8)
+    segs = ends - begins_np
+    cap = max(8, -(-int(segs.max()) // 8) * 8)
+    # the reference prints repartition imbalance at construct
+    # (include/desa.hpp:169-183)
+    from psac_tpu.utils.timers import timers_enabled
+    if timers_enabled() and p > 0:
+        import sys
+        print(f"[timer] [desa] partition imbalance: max={int(segs.max())} "
+              f"avg={n / p:.0f} factor={segs.max() * p / max(n, 1):.3f}",
+              file=sys.stderr, flush=True)
     return begins_np, cap
 
 

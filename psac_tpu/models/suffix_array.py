@@ -514,6 +514,11 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
     from psac_tpu.ops.alphabet import IntAlphabet
 
     p = num_shards(mesh)
+    if len(text) >= (1 << 30):
+        # int32 rank/index arrays bound a single construction at 2^30 chars
+        # (per-chip HBM binds well before that on one chip; larger corpora
+        # need a bigger mesh and an int64 index build)
+        raise ValueError(f"text too large for int32 indexes: {len(text)}")
     if isinstance(text, (bytes, bytearray)) or \
             np.asarray(text).dtype == np.uint8:
         alpha = Alphabet.from_bytes(text)

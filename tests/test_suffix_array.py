@@ -117,3 +117,33 @@ def test_prefix_lpling(mesh8, factor):
     for text in [rand_dna(5000, seed=factor), b"abab" * 600, b"a" * 300]:
         res = build_suffix_array(text, mesh=mesh8, config=conf)
         np.testing.assert_array_equal(res.sa, suffix_array_np(text))
+
+
+def test_real_text_corpus(mesh8):
+    """English-like real text (this repo's own sources) vs the native oracle."""
+    import glob
+    import numpy as np
+    from psac_tpu import native
+    from psac_tpu.models.suffix_array import build_suffix_array
+
+    parts = []
+    for f in sorted(glob.glob("psac_tpu/**/*.py", recursive=True)):
+        with open(f, "rb") as fh:
+            parts.append(fh.read())
+    text = b"".join(parts).replace(b"\x00", b" ")[:200000]
+    res = build_suffix_array(text, mesh=mesh8)
+    np.testing.assert_array_equal(res.sa, native.suffix_array(text))
+    np.testing.assert_array_equal(res.lcp, native.lcp_array(text, res.sa))
+
+
+def test_too_large_rejected(mesh1):
+    import pytest
+    from psac_tpu.models.suffix_array import encode_and_shard
+
+    class FakeLen(bytes):
+        # len() probe only — the guard must fire before any encoding work
+        def __len__(self):
+            return 1 << 30
+
+    with pytest.raises(ValueError, match="too large"):
+        encode_and_shard(FakeLen(b"x"), mesh1)
