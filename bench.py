@@ -10,7 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   this host (the divsufsort-class baseline; BASELINE.md records no published
   reference numbers).
 
-Env knobs: PSAC_BENCH_N (default 2^24), PSAC_BENCH_CORPUS ("dna"|"bytes").
+Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS ("dna"|"bytes").
 """
 
 import json
@@ -26,7 +26,7 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("PSAC_BENCH_N", 1 << 24))
+    n = int(os.environ.get("PSAC_BENCH_N", 1 << 26))
     corpus = os.environ.get("PSAC_BENCH_CORPUS", "dna")
 
     from psac_tpu.ops.alphabet import rand_dna
@@ -48,8 +48,8 @@ def main():
     log(f"baseline sais+kasai: {base_t:.2f}s ({base_bps/1e6:.2f} MB/s)")
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_psac"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import psac_tpu
+    psac_tpu.enable_compile_cache()
     from psac_tpu.models.suffix_array import construct_device, encode_and_shard
     from psac_tpu.parallel.mesh import make_mesh
 

@@ -19,16 +19,27 @@ sets, and the DESA distributed pattern-matching index), built TPU-first:
 See SURVEY.md for the structural map of the reference this re-implements.
 """
 
-import os as _os
+def enable_compile_cache() -> None:
+    """Persist compiled TPU programs across processes (first compiles of the
+    shard_map steps take tens of seconds).
 
-if _os.environ.get("PSAC_NO_COMPILE_CACHE", "0") in ("", "0"):
-    # first compiles of the shard_map steps take tens of seconds; persist
-    # them across processes (opt out with PSAC_NO_COMPILE_CACHE=1)
-    import jax as _jax
+    Deliberately NOT enabled at import: with XLA:CPU the persistent cache is
+    unsafe in this jaxlib (executable serialization can segfault, and AOT
+    results loaded on a host with different CPU features SIGILL).  The TPU
+    entry points (bench.py, the CLI, __graft_entry__) call this; it no-ops
+    unless the default backend is a real accelerator.
+    """
+    import os
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.path.expanduser("~/.cache/jax_psac"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("PSAC_NO_COMPILE_CACHE", "0") not in ("", "0"):
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_psac"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
 

@@ -51,15 +51,24 @@ def cmd_psac(args) -> int:
     text = _load_text(args)
     mesh = _mesh(args)
     conf = cfg.SAConfig(construct_lcp=args.lcp or args.tree, k=args.k)
-    t0 = time.time()
-    res = build_suffix_array(text, mesh=mesh, config=conf)
-    _log(f"PSAC time: {(time.time() - t0) * 1000:.1f} ms")
     if args.tree:
-        from psac_tpu.models.suffix_tree import build_suffix_tree
+        # single construction feeds both outputs (reference psac.cpp:96-114
+        # likewise reuses the SA for the ST build)
+        from psac_tpu.models.suffix_array import construct_device, encode_and_shard
+        from psac_tpu.models.suffix_tree import construct_suffix_tree_device
         t0 = time.time()
-        nodes = build_suffix_tree(text, mesh=mesh)
+        xs, alpha, n, N = encode_and_shard(text, mesh, conf)
+        dsa = construct_device(xs, alpha, n, N, mesh, conf)
+        res = dsa.materialize()
+        _log(f"PSAC time: {(time.time() - t0) * 1000:.1f} ms")
+        t0 = time.time()
+        nodes = construct_suffix_tree_device(dsa, xs, mesh).materialize()
         _log(f"ST time: {(time.time() - t0) * 1000:.1f} ms "
              f"({nodes.shape[0]} nodes x {nodes.shape[1]} slots)")
+    else:
+        t0 = time.time()
+        res = build_suffix_array(text, mesh=mesh, config=conf)
+        _log(f"PSAC time: {(time.time() - t0) * 1000:.1f} ms")
     if args.check:
         from psac_tpu import native
         ok = np.array_equal(res.sa, native.suffix_array(text))
@@ -274,6 +283,8 @@ def cmd_kmer_stats(args) -> int:
 
 
 def main(argv=None) -> int:
+    import psac_tpu
+    psac_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser(prog="psac_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -44,6 +44,11 @@ class SAConfig:
       factor: prefix-multiplication factor per dense iteration: 2 = classic
         doubling; 3/4 = the reference's ``construct_arr<L>`` tripling/
         quadrupling (SA-only; no LCP support, as in the reference).
+      fused: dispatch k-mer init + the whole sparse tail as ONE device
+        program with a single scalar readback.  Saves one host<->device
+        round trip per construction phase (tens of ms each on remote
+        transports); falls back to the host-driven loop when the active
+        set after init exceeds the fused tail capacity (~N/8).
     """
 
     construct_lcp: bool = True
@@ -52,6 +57,7 @@ class SAConfig:
     tail_threshold_frac: float = 0.1
     tail_capacity_mult: float = 1.25
     factor: int = 2
+    fused: bool = True
 
 
 DEFAULT = SAConfig()

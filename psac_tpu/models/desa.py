@@ -201,7 +201,7 @@ class DESA:
 
 def build_desa(text: bytes | np.ndarray, mesh=None,
                config: cfg_mod.SAConfig = cfg_mod.DEFAULT,
-               tli_bits: int = 16, tli: str = "tllt",
+               tli_bits: int = 24, tli: str = "tllt",
                maxsize: int | None = None) -> DESA:
     """Construct the DESA: SA+LCP+Lc, TLI (TLLT or TLDT), partition,
     reshard, RMQ."""
@@ -263,7 +263,12 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     p = num_shards(mesh)
     bits = alpha.bits_per_char
     s = N // p
+    # k-mer depth of the top-level table: the reference's 2^24-entry budget
+    # (include/desa.hpp:83 via lookup_table), additionally capped so tiny
+    # inputs don't allocate a table vastly larger than the text
     k = max(1, min(tli_bits // bits, 12))
+    while k > 1 and (1 << (k * bits)) > max(1024, 4 * n):
+        k -= 1
     samp = None
     table = jnp.zeros((1,), jnp.int32)
 
@@ -536,7 +541,7 @@ def write_desa(desa: DESA, prefix: str) -> None:
 
 
 def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
-              tli_bits: int = 16) -> DESA:
+              tli_bits: int = 24) -> DESA:
     """Load a persisted DESA (needs the original text, as the reference's
     ``desa-main -l`` does); works on any mesh size."""
     from psac_tpu import io as io_mod

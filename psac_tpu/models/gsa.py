@@ -273,8 +273,9 @@ def build_gsa_device(strings, mesh=None,
         if brow is not None and 0 < ue <= tail_limit:
             # ---- eos-aware sparse tail (reference construct_msgs_gsa) ----
             m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
-            cs, cb, ce, total = b.tail_enter(m_cap)(sa, brow, active, eos_row)
-            if int(total) <= m_cap:
+            # the active count equals ue from the last step: no readback
+            cs, cb, ce, _total = b.tail_enter(m_cap)(sa, brow, active, eos_row)
+            if ue <= m_cap:
                 while ue > 0:
                     if config.construct_lcp:
                         cs, cb, ce, isa, sa, lcp, ue = b.tail_step(m_cap)(

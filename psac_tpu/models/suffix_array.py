@@ -327,31 +327,114 @@ class _Builder:
         """Compact the active rows into the (m_cap,) tail buffers; the
         bucket-by-row and active mask come straight from the previous
         rebucket (no re-derivation).  In GSA mode also carries each
-        record's end-of-string bound."""
+        record's end-of-string bound.
+
+        Gather formulation: the t-th active element's index is a
+        ``searchsorted`` over the inclusive cumsum of the mask — a scatter
+        with n update rows runs ~1us/row on TPU (serialized), while n-input
+        searchsorted + m_cap-row gathers are bandwidth-bound.
+        """
         s, p = self.s, self.p
-        g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
-        active = active_l
-        # global compact position = exscan of per-shard counts + local cumsum
-        local_idx = jnp.cumsum(active.astype(jnp.int32)) - 1
-        counts = lax.all_gather(jnp.sum(active.astype(jnp.int32)), AXIS)
-        i = lax.axis_index(AXIS)
-        carry = jnp.sum(jnp.where(jnp.arange(p) < i, counts, 0))
-        pos = carry + local_idx
-        total = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
-        ok = active & (pos < m_cap)
         sl = m_cap // p
-        cs = jnp.zeros((sl,), jnp.int32)
-        cb = jnp.full((sl,), INT32_INF, jnp.int32)
+        cnt = jnp.sum(active_l.astype(jnp.int32))
+        counts = lax.all_gather(cnt, AXIS)  # (p,)
+        total = lax.psum(cnt, AXIS)  # psum is vma-replicated (all_gather isn't)
+        # local extraction: local slot t (0-based) holds the (t+1)-th active
+        # element; searchsorted over the inclusive count gives its index
+        c_l = jnp.cumsum(active_l.astype(jnp.int32))
+        tq = jnp.arange(1, m_cap + 1, dtype=jnp.int32)
+        idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
+        ok = tq <= cnt
+        safe = jnp.clip(idx, 0, s - 1)
         # no row field: the compact set stays in row order, and ties inside
         # a (bucket, B2) group sort by position cs — the same deterministic
         # order the dense sort produces
-        vals = (sa_l, brow_l)
-        tgts = (cs, cb)
-        if eos_row is not None:
-            vals = vals + (eos_row,)
-            tgts = tgts + (jnp.zeros((sl,), jnp.int32),)
-        out = route_scatter(pos, vals, tgts, ok, sl, p)
-        return tuple(out) + (total,)
+        vals = (sa_l, brow_l) + (() if eos_row is None else (eos_row,))
+        fills = (0, INT32_INF) + (() if eos_row is None else (0,))
+        bufs = [jnp.where(ok, v[safe], jnp.int32(f)) for v, f in zip(vals, fills)]
+        if p == 1:
+            return tuple(bufs) + (total,)
+        # redistribute: shard r's local slot t is global compact position
+        # carry_r + t; compact slots are block-distributed sl per shard
+        i = lax.axis_index(AXIS)
+        carries = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        gath = [lax.all_gather(bf, AXIS) for bf in bufs]  # (p, m_cap) each
+        g = i.astype(jnp.int32) * sl + jnp.arange(sl, dtype=jnp.int32)
+        owner = jnp.clip(
+            jnp.searchsorted(carries, g, side="right").astype(jnp.int32) - 1,
+            0, p - 1)
+        slot = jnp.clip(g - carries[owner], 0, m_cap - 1)
+        valid = g < jnp.minimum(total, m_cap)
+        outs = [jnp.where(valid, ga[owner, slot], jnp.int32(f))
+                for ga, f in zip(gath, fills)]
+        return tuple(outs) + (total,)
+
+    # ---------------- fused one-dispatch construction ----------------
+    #
+    # Through a remote-device transport every host<->device round trip costs
+    # tens of ms; the host-driven loop pays one per readback.  For the common
+    # case (k-mer init already separates all but a few suffixes) the whole
+    # construction fuses into ONE dispatched program: init -> cond(tail fits)
+    # -> while_loop(tail steps), with a single (3,) stats readback at the end.
+
+    def fused(self, m_cap: int):
+        key = ("fused", m_cap)
+        if key not in self._step_cache:
+            x, r = P(AXIS), P()
+            nout = 5 if self.with_lcp else 4
+            fn = jax.shard_map(
+                functools.partial(self._fused_local, m_cap=m_cap),
+                mesh=self.mesh, in_specs=(x, r),
+                out_specs=(x,) * nout + (r,))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _fused_local(self, codes_l, n_real, *, m_cap: int):
+        N = self.N
+        outs = self._init_local(codes_l, n_real)
+        if self.with_lcp:
+            isa, sa, lcp, brow, active, ub, ue = outs
+        else:
+            isa, sa, brow, active, ub, ue = outs
+            lcp = jnp.zeros((self.s,), jnp.int32)  # unused placeholder
+        d0 = jnp.int32(self.k1 + self.k2)
+        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
+        fits = (ue > 0) & (ue <= jnp.int32(m_cap))
+
+        def run_tail(args):
+            isa, sa, lcp = args
+            cs, cb, _total = self._tail_enter_local(sa, brow, active,
+                                                    m_cap=m_cap)
+
+            def cond(st):
+                return (st[-1] > 0) & (st[-2] < max_iters)
+
+            def body(st):
+                if self.with_lcp:
+                    cs, cb, isa, sa, lcp, d, it, _ = st
+                    cs, cb, isa, sa, lcp, ue = self._tail_step_local(
+                        cs, cb, isa, sa, lcp, d, m_cap=m_cap)
+                else:
+                    cs, cb, isa, sa, lcp, d, it, _ = st
+                    cs, cb, isa, sa, ue = self._tail_step_local(
+                        cs, cb, isa, sa, d, m_cap=m_cap)
+                d = jnp.minimum(d * 2, jnp.int32(N))
+                return (cs, cb, isa, sa, lcp, d, it + 1, ue)
+
+            st = (cs, cb, isa, sa, lcp, d0, jnp.int32(0), ue)
+            st = lax.while_loop(cond, body, st)
+            return st[2], st[3], st[4], st[-1]
+
+        def no_tail(args):
+            isa, sa, lcp = args
+            return isa, sa, lcp, ue
+
+        isa, sa, lcp, ue_out = lax.cond(fits, run_tail, no_tail,
+                                        (isa, sa, lcp))
+        stats = jnp.stack([ub, ue_out, fits.astype(jnp.int32)])
+        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
+        return base + (brow, active, stats)
 
     def tail_step(self, m_cap: int):
         key = ("tail", m_cap)
@@ -547,16 +630,42 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
     timer = SectionTimer(label="construct")
 
     b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp)
-    outs = b._init(xs, jnp.int32(n))
-    if config.construct_lcp:
-        isa, sa, lcp, brow, active, ub, ue = outs
+
+    if config.fused:
+        # one-dispatch fast path: init + sparse tail inside a single program,
+        # a single (3,) readback decides whether the host loop is needed
+        # small static capacity keeps the fused tail's sorts/scatters cheap
+        # (and its RMQ in the cheap no-table regime); bigger leftovers fall
+        # back to the host-driven loop below
+        m_cap_f = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
+        outs = b.fused(m_cap_f)(xs, jnp.int32(n))
+        if config.construct_lcp:
+            isa, sa, lcp, brow, active, stats = outs
+        else:
+            isa, sa, brow, active, stats = outs
+            lcp = None
+        ub, ue, tail_ran = (int(v) for v in np.asarray(jax.device_get(stats)))
+        timer.end_section(
+            f"fused init+tail (k={k}, cap {m_cap_f}, tail_ran={tail_ran})")
+        timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} "
+                   f"elements(after)={ue}")
+        if tail_ran:
+            if ue != 0:
+                raise AssertionError("fused tail failed to converge")
+            ub = 0
+        elif ue == 0:
+            ub = 0
     else:
-        isa, sa, brow, active, ub, ue = outs
-        lcp = None
-    ub = int(ub)
-    ue = int(ue)
-    timer.end_section(f"kmer-init (k={k})")
-    timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} elements={ue}")
+        outs = b._init(xs, jnp.int32(n))
+        if config.construct_lcp:
+            isa, sa, lcp, brow, active, ub, ue = outs
+        else:
+            isa, sa, brow, active, ub, ue = outs
+            lcp = None
+        ub = int(ub)
+        ue = int(ue)
+        timer.end_section(f"kmer-init (k={k})")
+        timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} elements={ue}")
 
     d = k
     tail_limit = int(N * config.tail_threshold_frac)
@@ -566,9 +675,11 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         if 0 < ue <= tail_limit:
             # ---- sparse tail: process only the active elements ----
             m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
-            cs, cb, total = b.tail_enter(m_cap)(sa, brow, active)
-            if int(total) <= m_cap:
-                timer.end_section(f"tail-enter ({int(total)} active, cap {m_cap})")
+            # the active count equals ue from the last rebucket, so the
+            # capacity check needs no device readback
+            cs, cb, _total = b.tail_enter(m_cap)(sa, brow, active)
+            if ue <= m_cap:
+                timer.end_section(f"tail-enter ({ue} active, cap {m_cap})")
                 while True:
                     if config.construct_lcp:
                         cs, cb, isa, sa, lcp, ue = b.tail_step(m_cap)(

@@ -32,8 +32,8 @@ class LocalRMQ:
     """Per-shard RMQ over a local (s,) int32 array."""
 
     x: jax.Array          # (s,)
-    pref: jax.Array       # (s,) min over [block_start, i]
-    suff: jax.Array       # (s,) min over [i, block_end)
+    pref: jax.Array | None   # (s,) min over [block_start, i] (table mode only)
+    suff: jax.Array | None   # (s,) min over [i, block_end) (table mode only)
     table: jax.Array      # (L, nb) sparse table over block minima; level 0 = block mins
     small: jax.Array | None  # (Lb, s) in-block doubling mins (optional)
     block: int
@@ -49,15 +49,19 @@ class LocalRMQ:
 
 def build_local_rmq(x, block: int | None = None,
                     with_small: bool = True) -> LocalRMQ:
-    """``with_small=False`` skips the (log2(block)+1, s) in-block table —
-    right when the query count is small (the windowed fallback is cheaper
-    than the O(s log block) build)."""
+    """``with_small=False`` builds only the block-min doubling table — right
+    when the query count is small: the build is then a single O(s) min-reduce
+    (no in-block tables, no per-block prefix/suffix scans), and queries
+    answer their edge blocks with two masked block-row gathers."""
     s = x.shape[0]
     block = block or block_size_for(s)
     nb = s // block
     xb = x.reshape(nb, block)
-    pref = lax.cummin(xb, axis=1).reshape(s)
-    suff = lax.cummin(xb, axis=1, reverse=True).reshape(s)
+    if with_small:
+        pref = lax.cummin(xb, axis=1).reshape(s)
+        suff = lax.cummin(xb, axis=1, reverse=True).reshape(s)
+    else:
+        pref = suff = None
     levels = max(1, nb.bit_length())
     rows = [xb.min(axis=1)]
     for j in range(1, levels):
@@ -93,22 +97,7 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     s = rmq.s
     bl = lo // block
     bh = hi // block
-    if rmq.small is not None:
-        # --- same-block path: classic two-lookup doubling query
-        length = hi - lo + 1
-        slev = _floor_log2(length)
-        sflat = rmq.small.reshape(-1)
-        s1 = sflat[jnp.clip(slev * s + lo, 0, sflat.shape[0] - 1)]
-        s2 = sflat[jnp.clip(slev * s + hi - (1 << slev) + 1, 0, sflat.shape[0] - 1)]
-        same_min = jnp.minimum(s1, s2)
-    else:
-        # small-query fallback: masked window min (one (q, block) gather)
-        starts = (bl * block).astype(jnp.int32)
-        windows = jax.vmap(lambda st: lax.dynamic_slice_in_dim(rmq.x, st, block))(starts)
-        offs = jnp.arange(block, dtype=jnp.int32)[None, :]
-        in_range = (offs >= (lo - starts)[:, None]) & (offs <= (hi - starts)[:, None])
-        same_min = jnp.min(jnp.where(in_range, windows, INT32_INF), axis=1)
-    # --- cross-block path: suff[lo] /\ table-range(bl+1, bh-1) /\ pref[hi]
+    # --- interior full blocks (bl, bh) exclusive, from the doubling table
     a = bl + 1
     b = bh - 1
     length = b - a + 1
@@ -117,8 +106,31 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     t1 = flat[jnp.clip(lev * nb + a, 0, flat.shape[0] - 1)]
     t2 = flat[jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat.shape[0] - 1)]
     mid = jnp.where(length > 0, jnp.minimum(t1, t2), INT32_INF)
-    cross_min = jnp.minimum(jnp.minimum(rmq.suff[lo], rmq.pref[hi]), mid)
-    return jnp.where(bl == bh, same_min, cross_min)
+    if rmq.small is not None:
+        # --- same-block path: classic two-lookup doubling query
+        length = hi - lo + 1
+        slev = _floor_log2(length)
+        sflat = rmq.small.reshape(-1)
+        s1 = sflat[jnp.clip(slev * s + lo, 0, sflat.shape[0] - 1)]
+        s2 = sflat[jnp.clip(slev * s + hi - (1 << slev) + 1, 0, sflat.shape[0] - 1)]
+        same_min = jnp.minimum(s1, s2)
+        cross_min = jnp.minimum(jnp.minimum(rmq.suff[lo], rmq.pref[hi]), mid)
+        return jnp.where(bl == bh, same_min, cross_min)
+    # --- few-queries mode: edge blocks via two masked block-row gathers
+    # (row-aligned jnp.take is ~13x faster than a vmapped dynamic_slice)
+    xb = rmq.x.reshape(nb, block)
+    lw = jnp.take(xb, bl, axis=0)  # (q, block)
+    rw = jnp.take(xb, bh, axis=0)
+    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
+    lo_off = (lo - bl * block)[:, None]
+    hi_off = (hi - bh * block)[:, None]
+    same = (bl == bh)[:, None]
+    lmask = (offs >= lo_off) & (~same | (offs <= hi_off))
+    rmask = (offs <= hi_off) & (~same | (offs >= lo_off))
+    edge = jnp.minimum(
+        jnp.min(jnp.where(lmask, lw, INT32_INF), axis=1),
+        jnp.min(jnp.where(rmask, rw, INT32_INF), axis=1))
+    return jnp.minimum(edge, mid)
 
 
 # ---------------------------------------------------------------------------

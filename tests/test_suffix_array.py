@@ -147,3 +147,19 @@ def test_too_large_rejected(mesh1):
 
     with pytest.raises(ValueError, match="too large"):
         encode_and_shard(FakeLen(b"x"), mesh1)
+
+
+def test_fused_vs_host_loop(mesh8):
+    """The fused one-dispatch path and the host-driven loop must agree
+    bit-for-bit, including at the fused tail capacity boundary."""
+    import dataclasses
+    from psac_tpu.models.suffix_array import build_suffix_array as bsa
+
+    for text in [rand_dna(3000, seed=5), b"ab" * 500 + bytes(rand_dna(64, seed=1))]:
+        want_sa = suffix_array_np(text)
+        want_lcp = lcp_kasai(text, want_sa)
+        for fused in (True, False):
+            cfg = SAConfig(fused=fused)
+            res = bsa(text, mesh=mesh8, config=cfg)
+            np.testing.assert_array_equal(res.sa, want_sa)
+            np.testing.assert_array_equal(res.lcp, want_lcp)
