@@ -105,7 +105,7 @@ class DESA:
     sa: jax.Array           # (p*cap,) subtree-aligned SA rows
     lcp: jax.Array
     lc: jax.Array
-    rmq_parts: tuple        # 6 arrays of the per-shard ArgLocalRMQ over LCP
+    rmq_parts: tuple        # (tab_v, tab_a) of the per-shard ArgLocalRMQ over LCP
     rmq_block: int
     xs: jax.Array           # (N,) block-sharded encoded text (verification)
     tli: str = "tllt"       # top-level index kind: "tllt" or "tldt"
@@ -115,18 +115,25 @@ class DESA:
     # ---------------- queries ----------------
 
     def encode_patterns(self, patterns):
-        """Host: encode byte patterns to a padded (B, Lmax) code matrix."""
+        """Host: encode byte patterns to a padded (B, Lmax) code matrix.
+
+        Fully vectorized — a per-pattern Python loop costs ~8us/pattern and
+        dominated bulk_locate wall time at large batches."""
         B = len(patterns)
-        Lmax = _pow2ceil(max(2, max((len(pt) for pt in patterns), default=2)))
+        lens = np.fromiter((len(pt) for pt in patterns), np.int64, B)
+        Lmax = _pow2ceil(max(2, int(lens.max()) if B else 2))
+        flat = np.frombuffer(b"".join(bytes(pt) for pt in patterns), np.uint8)
+        codes = self.alphabet.mapping[flat].astype(np.int32)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        row = np.repeat(np.arange(B, dtype=np.int64), lens)
+        col = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
         mat = np.zeros((B, Lmax), np.int32)
-        lens = np.zeros((B,), np.int32)
-        bad = np.zeros((B,), bool)
-        for i, pt in enumerate(patterns):
-            codes = self.alphabet.mapping[np.frombuffer(bytes(pt), np.uint8)]
-            mat[i, :len(codes)] = codes
-            lens[i] = len(codes)
-            bad[i] = (len(codes) == 0) or (codes == 0).any()
-        return mat, lens, bad
+        mat[row, col] = codes
+        # bad = empty pattern or any character outside the alphabet (code 0)
+        zero_cum = np.concatenate([[0], np.cumsum(codes == 0)])
+        bad = (lens == 0) | ((zero_cum[ends] - zero_cum[starts]) > 0)
+        return mat, lens.astype(np.int32), bad
 
     def bulk_locate(self, patterns) -> np.ndarray:
         """Exact half-open SA ranges [l, r) for a batch of byte patterns.
@@ -177,10 +184,10 @@ class DESA:
                         rmq_block=self.rmq_block),
                     mesh=self.mesh,
                     # (mat, lens, table, begins, sa, lcp, lc,
-                    #  pref_v/a, suff_v/a, tab_v/a, sm_v/a, xs)
+                    #  tab_v/a, xs)
                     in_specs=(P(AXIS), P(AXIS), P(), P())
-                             + (P(AXIS),) * 3 + (P(AXIS),) * 4
-                             + (P(None, AXIS),) * 4 + (P(AXIS),),
+                             + (P(AXIS),) * 3
+                             + (P(None, AXIS),) * 2 + (P(AXIS),),
                     out_specs=(P(AXIS), P(AXIS)))
             else:
                 fn = jax.shard_map(
@@ -191,8 +198,10 @@ class DESA:
                         m_samp=self.samp["m"], M_samp=self.samp["M"],
                         samp_block=self.samp["block"]),
                     mesh=self.mesh,
-                    in_specs=(P(AXIS), P(AXIS)) + (P(),) * 11 + (P(),)
-                             + (P(AXIS),) * 7 + (P(None, AXIS),) * 4
+                    # (mat, lens, off_ext, samp_lcp/lc, samp tab_v/a,
+                    #  begins, sa, lcp, lc, tab_v/a, xs)
+                    in_specs=(P(AXIS), P(AXIS)) + (P(),) * 5 + (P(),)
+                             + (P(AXIS),) * 3 + (P(None, AXIS),) * 2
                              + (P(AXIS),),
                     out_specs=(P(AXIS), P(AXIS)))
             self._query_cache[key] = jax.jit(fn)
@@ -307,12 +316,11 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
         d_lcp = jax.device_put(samp_lcp, rep)
         d_lc = jax.device_put(samp_lc, rep)
         d_off = jax.device_put(off_ext, rep)
-        def _rmq8(a):
+        def _rmq2(a):
             r = build_arg_rmq(a)
-            return (r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a,
-                    r.sm_v, r.sm_a)
+            return (r.tab_v, r.tab_a)
 
-        srmq = jax.jit(_rmq8)(d_lcp)
+        srmq = jax.jit(_rmq2)(d_lcp)
         from psac_tpu.ops.rmq import block_size_for as _bsf
         samp = {"off_ext": d_off, "lcp": d_lcp, "lc": d_lc,
                 "rmq": tuple(srmq), "block": _bsf(M), "m": m, "M": M}
@@ -331,14 +339,13 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
 
     def rmq_build(lcp_l):
         r = build_arg_rmq(lcp_l)
-        return (r.pref_v, r.pref_a, r.suff_v, r.suff_a, r.tab_v, r.tab_a,
-                r.sm_v, r.sm_a)
+        return (r.tab_v, r.tab_a)
 
     from psac_tpu.ops.rmq import block_size_for
     block = block_size_for(cap)
     rmq_parts = jax.jit(jax.shard_map(
         rmq_build, mesh=mesh, in_specs=(P(AXIS),),
-        out_specs=(P(AXIS),) * 4 + (P(None, AXIS),) * 4))(lcp_slab)
+        out_specs=(P(None, AXIS),) * 2))(lcp_slab)
 
     return DESA(mesh=mesh, alphabet=alpha, n=n, N=N, k=k, table=table,
                 begins=begins, begins_np=begins_np, cap=cap,
@@ -452,8 +459,7 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
 
 
 def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
-                       pref_v, pref_a, suff_v, suff_a, tab_v, tab_a,
-                       sm_v, sm_a, xs_l, *,
+                       tab_v, tab_a, xs_l, *,
                        b: int, Lmax: int, p: int, n: int, s: int, k: int,
                        bits: int, cap: int, rmq_block: int):
     r_rank = lax.axis_index(AXIS).astype(jnp.int32)
@@ -463,9 +469,7 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
     owner = jnp.sum((begins[None, :] <= lo[:, None]).astype(jnp.int32), axis=1) - 1
     dest = jnp.where(need, owner, r_rank)
 
-    rmq = ArgLocalRMQ(x=lcp_slab, pref_v=pref_v, pref_a=pref_a,
-                      suff_v=suff_v, suff_a=suff_a, tab_v=tab_v, tab_a=tab_a,
-                      sm_v=sm_v, sm_a=sm_a, block=rmq_block)
+    rmq = ArgLocalRMQ(x=lcp_slab, tab_v=tab_v, tab_a=tab_a, block=rmq_block)
 
     def answer(recv, recv_valid):
         rp, rlen, rlo, rhi = recv
@@ -566,11 +570,9 @@ def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
 
 
 def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
-                            s_pref_v, s_pref_a, s_suff_v, s_suff_a, s_tab_v,
-                            s_tab_a, s_sm_v, s_sm_a, begins,
+                            s_tab_v, s_tab_a, begins,
                             sa_slab, lcp_slab, lc_slab,
-                            pref_v, pref_a, suff_v, suff_a, tab_v, tab_a,
-                            sm_v, sm_a,
+                            tab_v, tab_a,
                             xs_l, *, b: int, Lmax: int, p: int, n: int,
                             s: int, cap: int, rmq_block: int, m_samp: int,
                             M_samp: int, samp_block: int):
@@ -582,9 +584,7 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
     leaves short patterns unverified with tldt's minmatch of 1)."""
     r_rank = lax.axis_index(AXIS).astype(jnp.int32)
 
-    srmq = ArgLocalRMQ(x=samp_lcp, pref_v=s_pref_v, pref_a=s_pref_a,
-                       suff_v=s_suff_v, suff_a=s_suff_a, tab_v=s_tab_v,
-                       tab_a=s_tab_a, sm_v=s_sm_v, sm_a=s_sm_a,
+    srmq = ArgLocalRMQ(x=samp_lcp, tab_v=s_tab_v, tab_a=s_tab_a,
                        block=samp_block)
     zero = jnp.zeros_like(lens_l)
     topr = zero + jnp.int32(m_samp - 1)
@@ -598,9 +598,7 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
     owner = jnp.sum((begins[None, :] <= glo[:, None]).astype(jnp.int32), axis=1) - 1
     dest = jnp.where(need, owner, r_rank)
 
-    rmq = ArgLocalRMQ(x=lcp_slab, pref_v=pref_v, pref_a=pref_a,
-                      suff_v=suff_v, suff_a=suff_a, tab_v=tab_v, tab_a=tab_a,
-                      sm_v=sm_v, sm_a=sm_a, block=rmq_block)
+    rmq = ArgLocalRMQ(x=lcp_slab, tab_v=tab_v, tab_a=tab_a, block=rmq_block)
 
     def answer(recv, recv_valid):
         rp, rlen, rlo, rhi, rfin = recv

@@ -142,17 +142,18 @@ class ArgLocalRMQ:
     """Per-shard RMQ returning the *leftmost argmin* index — what tree
     walks need (the reference's ``rmq::query`` returns an iterator to the
     min element; the blind search relies on scanning children left to
-    right, reference ``include/seq_query.hpp:471-501``)."""
+    right, reference ``include/seq_query.hpp:471-501``).
+
+    Layout: ONLY a (L, nb) doubling table over block minima — edge blocks
+    are answered per query with two masked block-row gathers (`jnp.take`
+    of contiguous rows). In-block doubling tables over the full (Lb, s)
+    array were ~10x slower in practice: random gathers from the resulting
+    multi-hundred-MB tables run ~1us/row, while row-aligned window reads
+    are bandwidth-bound."""
 
     x: jax.Array
-    pref_v: jax.Array
-    pref_a: jax.Array
-    suff_v: jax.Array
-    suff_a: jax.Array
-    tab_v: jax.Array   # (L, nb)
-    tab_a: jax.Array   # (L, nb)
-    sm_v: jax.Array    # (Lb, s) in-block doubling (value, leftmost index)
-    sm_a: jax.Array
+    tab_v: jax.Array   # (L, nb) block-min doubling table values
+    tab_a: jax.Array   # (L, nb) leftmost argmin (global in-shard index)
     block: int
 
     @property
@@ -175,14 +176,12 @@ def _argmin_op(a, b):
 
 
 def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
+    """O(s) build: one block-argmin reduce + a doubling table over the
+    (s/block,) block minima."""
     s = x.shape[0]
     block = block or block_size_for(s)
     nb = s // block
     xb = x.reshape(nb, block)
-    idx = jnp.arange(s, dtype=jnp.int32).reshape(nb, block)
-    pref_v, pref_a = lax.associative_scan(_argmin_op, (xb, idx), axis=1)
-    suff_v, suff_a = lax.associative_scan(_argmin_op, (xb, idx), axis=1,
-                                          reverse=True)
     rows_v = [xb.min(axis=1)]
     rows_a = [(jnp.arange(nb, dtype=jnp.int32) * block
                + jnp.argmin(xb, axis=1).astype(jnp.int32))]
@@ -199,21 +198,7 @@ def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
         v, a = _argmin_op((pv, pa), (sv, sa_))
         rows_v.append(v)
         rows_a.append(a)
-    flat_idx = jnp.arange(s, dtype=jnp.int32)
-    sm_v = [x]
-    sm_a = [flat_idx]
-    for j in range(1, max(1, block.bit_length())):
-        w = 1 << (j - 1)
-        pv, pa = sm_v[-1], sm_a[-1]
-        sv = jnp.concatenate([pv[w:], jnp.full((min(w, s),), INT32_INF, pv.dtype)])[:s]
-        sa2 = jnp.concatenate([pa[w:], jnp.zeros((min(w, s),), pa.dtype)])[:s]
-        v, a = _argmin_op((pv, pa), (sv, sa2))
-        sm_v.append(v)
-        sm_a.append(a)
-    return ArgLocalRMQ(x=x, pref_v=pref_v.reshape(s), pref_a=pref_a.reshape(s),
-                       suff_v=suff_v.reshape(s), suff_a=suff_a.reshape(s),
-                       tab_v=jnp.stack(rows_v), tab_a=jnp.stack(rows_a),
-                       sm_v=jnp.stack(sm_v), sm_a=jnp.stack(sm_a),
+    return ArgLocalRMQ(x=x, tab_v=jnp.stack(rows_v), tab_a=jnp.stack(rows_a),
                        block=block)
 
 
@@ -221,19 +206,30 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
     """Leftmost argmin index over inclusive local ranges [lo, hi].
 
     lo, hi: (q,) int32 with 0 <= lo <= hi < s. Returns (q,) int32 indices.
+
+    Edge blocks come from two masked block-row gathers; `jnp.argmin` over
+    the masked window is leftmost by construction. Interior full blocks
+    come from the small doubling table.
     """
     block, nb, s = rmq.block, rmq.nb, rmq.s
     bl = lo // block
     bh = hi // block
-    # same-block path: two in-block doubling lookups
-    length = hi - lo + 1
-    slev = _floor_log2(length)
-    smv = rmq.sm_v.reshape(-1)
-    sma = rmq.sm_a.reshape(-1)
-    i1s = jnp.clip(slev * s + lo, 0, smv.shape[0] - 1)
-    i2s = jnp.clip(slev * s + hi - (1 << slev) + 1, 0, smv.shape[0] - 1)
-    _, same_arg = _argmin_op((smv[i1s], sma[i1s]), (smv[i2s], sma[i2s]))
-    # cross-block path: suffix of lo's block, middle blocks, prefix of hi's
+    xb = rmq.x.reshape(nb, block)
+    lw = jnp.take(xb, bl, axis=0)  # (q, block)
+    rw = jnp.take(xb, bh, axis=0)
+    offs = jnp.arange(block, dtype=jnp.int32)[None, :]
+    lo_off = (lo - bl * block)[:, None]
+    hi_off = (hi - bh * block)[:, None]
+    same = (bl == bh)[:, None]
+    lmask = (offs >= lo_off) & (~same | (offs <= hi_off))
+    rmask = (offs <= hi_off) & (~same | (offs >= lo_off))
+    lwm = jnp.where(lmask, lw, INT32_INF)
+    rwm = jnp.where(rmask, rw, INT32_INF)
+    l_off = jnp.argmin(lwm, axis=1).astype(jnp.int32)  # first min = leftmost
+    r_off = jnp.argmin(rwm, axis=1).astype(jnp.int32)
+    left = (jnp.min(lwm, axis=1), bl * block + l_off)
+    right = (jnp.min(rwm, axis=1), bh * block + r_off)
+    # interior full blocks (bl, bh) exclusive
     a = bl + 1
     b = bh - 1
     length = b - a + 1
@@ -244,8 +240,7 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
     i2 = jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat_v.shape[0] - 1)
     t1 = (jnp.where(length > 0, flat_v[i1], INT32_INF), flat_a[i1])
     t2 = (jnp.where(length > 0, flat_v[i2], INT32_INF), flat_a[i2])
-    cand = (rmq.suff_v[lo], rmq.suff_a[lo])
-    cand = _argmin_op(cand, t1)
+    cand = _argmin_op(left, t1)
     cand = _argmin_op(cand, t2)
-    cand = _argmin_op(cand, (rmq.pref_v[hi], rmq.pref_a[hi]))
-    return jnp.where(bl == bh, same_arg, cand[1])
+    cand = _argmin_op(cand, right)
+    return cand[1]
