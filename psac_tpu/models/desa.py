@@ -143,6 +143,8 @@ class DESA:
         returns possibly-unverified ranges for boundary-crossing matches;
         here every candidate is fully verified against the distributed text.
         """
+        if len(patterns) == 0:
+            return np.zeros((0, 2), np.int64)
         mat, lens, bad = self.encode_patterns(patterns)
         B, Lmax = mat.shape
         p = num_shards(self.mesh)
