@@ -201,6 +201,35 @@ class _GsaBuilder(_Builder):
 
 
 _GSA_BUILDER_CACHE: dict = {}
+_GSA_INPUT_CACHE: dict = {}
+
+
+def _gsa_inputs_fn(mesh, N: int, M: int, p: int):
+    """Jitted device-side input prep: decode codes from raw bytes and expand
+    the block-sharded per-position ``eos`` from the (M,) replicated string
+    boundary arrays (string ends are increasing, so a scatter of end markers
+    at each start position + a global cummax yields eos)."""
+    key = (id(mesh), N, M)
+    if key not in _GSA_INPUT_CACHE:
+        from psac_tpu.parallel.collectives import global_cummax
+        s = N // p
+
+        def impl(xb_l, mapping, starts, ends, n_real):
+            xs_l = jnp.take(mapping, xb_l.astype(jnp.int32))
+            base = global_index_base(s)
+            loc = starts - base
+            ok = (loc >= 0) & (loc < s)
+            mark = jnp.zeros((s + 1,), jnp.int32).at[
+                jnp.where(ok, loc, s)].max(jnp.where(ok, ends, 0))[:s]
+            eos_l = global_cummax(mark, p)
+            g = base + jnp.arange(s, dtype=jnp.int32)
+            eos_l = jnp.where(g < n_real, eos_l, g)
+            return xs_l, eos_l
+
+        x, r = P(AXIS), P()
+        _GSA_INPUT_CACHE[key] = jax.jit(jax.shard_map(
+            impl, mesh=mesh, in_specs=(x, r, r, r, r), out_specs=(x, x)))
+    return _GSA_INPUT_CACHE[key]
 
 
 def _flatten(strings) -> tuple[bytes, np.ndarray]:
@@ -238,14 +267,27 @@ def build_gsa_device(strings, mesh=None,
     flat, lens = _flatten(strings)
     n = len(flat)
     alpha = Alphabet.from_bytes(flat)
-    codes = alpha.encode(flat)
     N = padded_size(max(n, 1), p, multiple=8)
-    padded = np.zeros(N, np.int32)
-    padded[:n] = codes
-    eos_np = np.arange(N, dtype=np.int32)
-    eos_np[:n] = np.repeat(np.cumsum(lens), lens).astype(np.int32)
-    xs = jax.device_put(padded, block_sharding(mesh))
-    eos = jax.device_put(eos_np, block_sharding(mesh))
+    # ship raw uint8 text + the (m,) string ends; decode codes and expand
+    # the per-position eos array ON DEVICE (host->device bandwidth is the
+    # binding cost on remote transports; eos as int32 would double the
+    # volume and bytes are 4x smaller than codes)
+    padded = np.zeros(N, np.uint8)
+    padded[:n] = np.frombuffer(flat, np.uint8)
+    m = len(lens)
+    M = _pow2ceil(max(m, 1))
+    ends_np = np.cumsum(lens).astype(np.int32)
+    starts_p = np.full(M, N, np.int32)
+    starts_p[:m] = (ends_np - lens).astype(np.int32)
+    ends_p = np.zeros(M, np.int32)
+    ends_p[:m] = ends_np
+    xb = jax.device_put(padded, block_sharding(mesh))
+    rep = jax.sharding.NamedSharding(mesh, P())
+    d_map = jax.device_put(alpha.mapping.astype(np.int32), rep)
+    d_starts = jax.device_put(starts_p, rep)
+    d_ends = jax.device_put(ends_p, rep)
+    xs, eos = _gsa_inputs_fn(mesh, N, M, p)(xb, d_map, d_starts, d_ends,
+                                            jnp.int32(n))
 
     k1, k2 = optimal_k(alpha.bits_per_char)
     key = (id(mesh), N, k1, k2, alpha.bits_per_char, config.construct_lcp)

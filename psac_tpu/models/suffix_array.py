@@ -604,15 +604,32 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
         raise ValueError(f"text too large for int32 indexes: {len(text)}")
     if isinstance(text, (bytes, bytearray)) or \
             np.asarray(text).dtype == np.uint8:
+        # ship raw uint8 and decode on-device: host->device bandwidth is the
+        # binding setup cost on remote transports, and bytes are 4x smaller
+        # than int32 codes
         alpha = Alphabet.from_bytes(text)
+        n = len(text)
+        N = padded_size(max(n, 1), p, multiple=8)
+        padded = np.zeros(N, np.uint8)
+        padded[:n] = np.frombuffer(bytes(text), np.uint8) if \
+            isinstance(text, (bytes, bytearray)) else np.asarray(text)
+        xb = jax.device_put(padded, block_sharding(mesh))
+        mapping = jax.device_put(alpha.mapping.astype(np.int32),
+                                 NamedSharding(mesh, P()))
+        key = ("decode", id(mesh), N)
+        if key not in _BUILDER_CACHE:
+            _BUILDER_CACHE[key] = jax.jit(jax.shard_map(
+                lambda t, m: jnp.take(m, t.astype(jnp.int32)),
+                mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(AXIS)))
+        xs = _BUILDER_CACHE[key](xb, mapping)
     else:
         alpha = IntAlphabet.from_array(text)
-    codes = alpha.encode(text)
-    n = len(codes)
-    N = padded_size(max(n, 1), p, multiple=8)
-    padded = np.zeros(N, np.int32)
-    padded[:n] = codes
-    xs = jax.device_put(padded, block_sharding(mesh))
+        codes = alpha.encode(text)
+        n = len(codes)
+        N = padded_size(max(n, 1), p, multiple=8)
+        padded = np.zeros(N, np.int32)
+        padded[:n] = codes
+        xs = jax.device_put(padded, block_sharding(mesh))
     return xs, alpha, n, N
 
 
