@@ -334,13 +334,15 @@ def build_gsa_device(strings, mesh=None,
         if config.construct_lcp:
             isa, sa, lcp, qkey, lq, rq, nq, brow, active, eos_row, ub, ue = \
                 b.step(qd)(isa, eos, lcp, jnp.int32(d))
-            nq = int(nq)
+            # one stacked readback instead of two round trips
+            nq, ue = (int(v) for v in
+                      np.asarray(jax.device_get(jnp.stack([nq, ue]))))
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
                 lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
         else:
             isa, sa, brow, active, eos_row, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
-        ue = int(ue)
+            ue = int(ue)
         d *= 2
 
     if config.construct_lcp:

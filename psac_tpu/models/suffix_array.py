@@ -714,12 +714,14 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
                     if d >= 4 * N:
                         raise AssertionError("tail failed to converge")
                 break
+        # loop-control scalars are stacked into ONE buffer before readback:
+        # each separate device_get is a full host<->device round trip
         if not config.construct_lcp and config.factor > 2:
             qs = tuple(min(j * d // b.s, b.p) for j in range(1, config.factor))
             isa, sa, brow, active, ub, ue = b.step_arr(qs)(isa, jnp.int32(d))
-            ub = int(ub)
+            ub, ue = (int(v) for v in
+                      np.asarray(jax.device_get(jnp.stack([ub, ue]))))
             timer.end_section(f"{config.factor}-pling-step d={d}")
-            ue = int(ue)
             timer.info(f"d={d}: unfinished buckets={ub} elements={ue}")
             d *= config.factor
             continue
@@ -727,7 +729,8 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         if config.construct_lcp:
             isa, sa, lcp, qkey, lq, rq, nq, brow, active, ub, ue = b.step(q)(
                 isa, lcp, jnp.int32(d))
-            nq = int(nq)
+            ub, ue, nq = (int(v) for v in
+                          np.asarray(jax.device_get(jnp.stack([ub, ue, nq]))))
             timer.end_section(f"doubling-step d={d}")
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
@@ -735,10 +738,9 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
                 timer.end_section(f"lcp-resolve d={d} ({nq} queries)")
         else:
             isa, sa, brow, active, ub, ue = b.step(q)(isa, jnp.int32(d))
-            ub = int(ub)  # scalar readback = device sync for the timer
+            ub, ue = (int(v) for v in
+                      np.asarray(jax.device_get(jnp.stack([ub, ue]))))
             timer.end_section(f"doubling-step d={d}")
-        ub = int(ub)
-        ue = int(ue)
         timer.info(f"d={d}: unfinished buckets={ub} elements={ue}")
         d *= 2
     timer.summary()
