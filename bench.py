@@ -10,7 +10,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   this host (the divsufsort-class baseline; BASELINE.md records no published
   reference numbers).
 
-Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS ("dna"|"bytes").
+Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
+("dna"|"repetitive"|"bytes").
 """
 
 import json
@@ -29,9 +30,11 @@ def main():
     n = int(os.environ.get("PSAC_BENCH_N", 1 << 26))
     corpus = os.environ.get("PSAC_BENCH_CORPUS", "dna")
 
-    from psac_tpu.ops.alphabet import rand_dna
+    from psac_tpu.ops.alphabet import rand_dna, rep_dna
     if corpus == "dna":
         text = rand_dna(n, seed=42)
+    elif corpus == "repetitive":
+        text = rep_dna(n, seed=0)
     else:
         rng = np.random.RandomState(42)
         text = rng.randint(1, 256, size=n, dtype=np.uint8).tobytes()
@@ -70,6 +73,8 @@ def main():
             dres = construct_device(xs, alpha, n_, N, mesh).block_until_ready()
             dt = time.time() - t0
             break
+        except (AssertionError, ValueError, TypeError):
+            raise  # deterministic failures: surface immediately
         except Exception as e:  # noqa: BLE001 - transient backend errors
             log(f"attempt {attempt} failed: {e!r}")
             if attempt == 2:

@@ -116,12 +116,14 @@ def cmd_desa(args) -> int:
     text = _load_text(args)
     mesh = _mesh(args)
     if args.load:
-        idx = read_desa(text, args.load, mesh=mesh)
-        _log(f"loaded DESA from {args.load}")
+        idx = read_desa(text, args.load, mesh=mesh, tli=args.tli,
+                        maxsize=args.maxsize)
+        _log(f"loaded DESA from {args.load} (tli={args.tli})")
     else:
         t0 = time.time()
-        idx = build_desa(text, mesh=mesh)
-        _log(f"DESA construct: {(time.time() - t0) * 1000:.1f} ms")
+        idx = build_desa(text, mesh=mesh, tli=args.tli, maxsize=args.maxsize)
+        _log(f"DESA construct (tli={args.tli}): "
+             f"{(time.time() - t0) * 1000:.1f} ms")
     if args.output:
         write_desa(idx, args.output)
         _log(f"saved DESA to {args.output}")
@@ -148,8 +150,21 @@ def cmd_benchmark(args) -> int:
     text = _load_text(args)
     mesh = _mesh(args)
     p = num_shards(mesh)
-    for name, conf in [("sa-nolcp", cfg.SAConfig(construct_lcp=False)),
-                       ("sa-lcp", cfg.SAConfig(construct_lcp=True))]:
+    # the reference times {reg, reg-fast} x {lcp, nolcp}
+    # (src/benchmark.cpp:35-109); "reg" = pure doubling (no sparse tail),
+    # "fast" = with bucket chaising.  The factor-3/4 rows are the
+    # construct_arr<L> analogues (SA-only, like the reference).
+    variants = [
+        ("sa-nolcp-reg", cfg.SAConfig(construct_lcp=False,
+                                      tail_threshold_frac=0.0, fused=False)),
+        ("sa-nolcp-fast", cfg.SAConfig(construct_lcp=False)),
+        ("sa-lcp-reg", cfg.SAConfig(construct_lcp=True,
+                                    tail_threshold_frac=0.0, fused=False)),
+        ("sa-lcp-fast", cfg.SAConfig(construct_lcp=True)),
+        ("sa-nolcp-arr3", cfg.SAConfig(construct_lcp=False, factor=3)),
+        ("sa-nolcp-arr4", cfg.SAConfig(construct_lcp=False, factor=4)),
+    ]
+    for name, conf in variants:
         build_suffix_array(text, mesh=mesh, config=conf)  # warm-up
         t0 = time.time()
         for _ in range(args.reps):
@@ -317,6 +332,10 @@ def main(argv=None) -> int:
     s.add_argument("-o", "--output", help="save index to this prefix")
     s.add_argument("--load", help="load index from this prefix")
     s.add_argument("--reps", type=int, default=10)
+    s.add_argument("--tli", choices=["tllt", "tldt"], default="tllt",
+                   help="top-level index kind (reference dist_desa<_,TLI>)")
+    s.add_argument("--maxsize", type=int, default=None,
+                   help="tldt sampling maxsize (default n/p/128)")
     s.set_defaults(fn=cmd_desa)
 
     s = sub.add_parser("benchmark")

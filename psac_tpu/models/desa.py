@@ -143,6 +143,16 @@ class DESA:
         returns possibly-unverified ranges for boundary-crossing matches;
         here every candidate is fully verified against the distributed text.
         """
+        return self._run_query(patterns, verify=True)
+
+    def bulk_locate_possible(self, patterns) -> np.ndarray:
+        """Candidate SA ranges WITHOUT text verification (the reference's
+        ``locate_possible`` semantics, ``include/desa.hpp:531-555``): the
+        blind search's range for each pattern, which may be a spurious
+        non-empty range when the pattern does not occur."""
+        return self._run_query(patterns, verify=False)
+
+    def _run_query(self, patterns, verify: bool) -> np.ndarray:
         if len(patterns) == 0:
             return np.zeros((0, 2), np.int64)
         mat, lens, bad = self.encode_patterns(patterns)
@@ -155,14 +165,26 @@ class DESA:
         shard = NamedSharding(self.mesh, P(AXIS))
         dmat = jax.device_put(mat, shard)
         dlens = jax.device_put(lens, shard)
-        fn = self._get_query_fn(Bp // p, Lmax)
+        from psac_tpu.utils.timers import timers_enabled
+        stats = timers_enabled()
+        fn = self._get_query_fn(Bp // p, Lmax, verify, stats)
         if self.tli == "tllt":
-            l, r = fn(dmat, dlens, self.table, self.begins, self.sa, self.lcp,
+            outs = fn(dmat, dlens, self.table, self.begins, self.sa, self.lcp,
                       self.lc, *self.rmq_parts, self.xs)
         else:
-            l, r = fn(dmat, dlens, self.samp["off_ext"], self.samp["lcp"],
+            outs = fn(dmat, dlens, self.samp["off_ext"], self.samp["lcp"],
                       self.samp["lc"], *self.samp["rmq"], self.begins,
                       self.sa, self.lcp, self.lc, *self.rmq_parts, self.xs)
+        l, r = outs[:2]
+        if stats:
+            # query load-imbalance factor (reference bulk_rma.hpp:27-35)
+            counts = np.asarray(jax.device_get(outs[2]), np.int64)
+            tot = max(int(counts.sum()), 1)
+            import sys
+            print(f"[timer] [desa] query routing: max={int(counts.max())} "
+                  f"avg={tot / p:.0f} "
+                  f"imbalance={counts.max() * p / tot:.3f}",
+                  file=sys.stderr, flush=True)
         out = np.stack([np.asarray(jax.device_get(l)),
                         np.asarray(jax.device_get(r))], axis=1)[:B].astype(np.int64)
         out[bad] = 0
@@ -173,24 +195,32 @@ class DESA:
         verification)."""
         return self.bulk_locate([pattern])[0]
 
-    def _get_query_fn(self, b: int, Lmax: int):
-        key = (b, Lmax)
+    def locate_possible(self, pattern) -> np.ndarray:
+        """Single-pattern candidate range without verification (the
+        reference's collective ``locate_possible``: owner computes, result
+        replicated everywhere — here the result is fetched to host)."""
+        return self.bulk_locate_possible([pattern])[0]
+
+    def _get_query_fn(self, b: int, Lmax: int, verify: bool = True,
+                      stats: bool = False):
+        key = (b, Lmax, verify, stats)
         if key not in self._query_cache:
             p = num_shards(self.mesh)
+            extra = (P(),) if stats else ()
             if self.tli == "tllt":
                 fn = jax.shard_map(
                     functools.partial(
                         _bulk_locate_local, b=b, Lmax=Lmax, p=p, n=self.n,
                         s=self.N // p, k=self.k, cap=self.cap,
                         bits=self.alphabet.bits_per_char,
-                        rmq_block=self.rmq_block),
+                        rmq_block=self.rmq_block, verify=verify, stats=stats),
                     mesh=self.mesh,
                     # (mat, lens, table, begins, sa, lcp, lc,
                     #  tab_v/a, xs)
                     in_specs=(P(AXIS), P(AXIS), P(), P())
                              + (P(AXIS),) * 3
                              + (P(None, AXIS),) * 2 + (P(AXIS),),
-                    out_specs=(P(AXIS), P(AXIS)))
+                    out_specs=(P(AXIS), P(AXIS)) + extra)
             else:
                 fn = jax.shard_map(
                     functools.partial(
@@ -198,14 +228,15 @@ class DESA:
                         n=self.n, s=self.N // p, cap=self.cap,
                         rmq_block=self.rmq_block,
                         m_samp=self.samp["m"], M_samp=self.samp["M"],
-                        samp_block=self.samp["block"]),
+                        samp_block=self.samp["block"], verify=verify,
+                        stats=stats),
                     mesh=self.mesh,
                     # (mat, lens, off_ext, samp_lcp/lc, samp tab_v/a,
                     #  begins, sa, lcp, lc, tab_v/a, xs)
                     in_specs=(P(AXIS), P(AXIS)) + (P(),) * 5 + (P(),)
                              + (P(AXIS),) * 3 + (P(None, AXIS),) * 2
                              + (P(AXIS),),
-                    out_specs=(P(AXIS), P(AXIS)))
+                    out_specs=(P(AXIS), P(AXIS)) + extra)
             self._query_cache[key] = jax.jit(fn)
         return self._query_cache[key]
 
@@ -216,6 +247,14 @@ def build_desa(text: bytes | np.ndarray, mesh=None,
                maxsize: int | None = None) -> DESA:
     """Construct the DESA: SA+LCP+Lc, TLI (TLLT or TLDT), partition,
     reshard, RMQ."""
+    if not (isinstance(text, (bytes, bytearray))
+            or np.asarray(text).dtype == np.uint8):
+        # wide-integer texts go through IntAlphabet, which has no dense
+        # byte mapping for encode_patterns, and a TLLT of (sigma bits)^k
+        # entries would be enormous; the DESA is a byte-text index
+        raise ValueError("build_desa requires a byte text "
+                         "(bytes or uint8 array); got dtype "
+                         f"{np.asarray(text).dtype}")
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh, config)
     dsa = construct_device(xs, alpha, n, N, mesh, config)
@@ -258,7 +297,7 @@ def _sample_mask_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
     real = g >= off
     lcp_adj = jnp.where(real, lcp_l, jnp.int32(-1))
     lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
-    lidx, _, ridx, _ = ansv_local(lcp_adj, s, p, NEAREST_SM, NEAREST_SM)
+    lidx, _, ridx, _, _ = ansv_local(lcp_adj, s, p, NEAREST_SM, NEAREST_SM)
     L = jnp.maximum(jnp.where(lidx == NONSV, off, lidx), off)
     R = jnp.where(ridx == NONSV, N, ridx)
     keep = real & ((g == off) | (lcp_adj == 0) | ((R - L) > maxsize))
@@ -463,7 +502,8 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
 def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
                        tab_v, tab_a, xs_l, *,
                        b: int, Lmax: int, p: int, n: int, s: int, k: int,
-                       bits: int, cap: int, rmq_block: int):
+                       bits: int, cap: int, rmq_block: int,
+                       verify: bool = True, stats: bool = False):
     r_rank = lax.axis_index(AXIS).astype(jnp.int32)
 
     lo, hi = _tli_lookup(mat_l, lens_l, table, k, bits)
@@ -485,24 +525,28 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
         fl = jnp.where(search, fl, l_loc)
         fr = jnp.where(search, fr, r_loc)
 
-        # verification: compare the pattern to the distributed text at SA[fl]
-        sal = sa_slab[jnp.clip(fl, 0, cap - 1)]
-        M = fl.shape[0]
-        pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-        want_ch = rp
-        in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
-        in_text = pos < n
-        flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
-        ch_dest = flatpos // s
+        if verify:
+            # verification: compare the pattern to the distributed text at
+            # SA[fl]
+            sal = sa_slab[jnp.clip(fl, 0, cap - 1)]
+            M = fl.shape[0]
+            pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+            want_ch = rp
+            in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
+            in_text = pos < n
+            flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
+            ch_dest = flatpos // s
 
-        def gather(recv2, recv2_valid):
-            (q2,) = recv2
-            return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
+            def gather(recv2, recv2_valid):
+                (q2,) = recv2
+                return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
 
-        (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
-        got = got.reshape(M, Lmax)
-        okc = jnp.where(in_pat, in_text & (got == want_ch), True)
-        match = jnp.all(okc, axis=1)
+            (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
+            got = got.reshape(M, Lmax)
+            okc = jnp.where(in_pat, in_text & (got == want_ch), True)
+            match = jnp.all(okc, axis=1)
+        else:
+            match = jnp.ones_like(need_q)
 
         out_l = begin + fl
         out_r = jnp.where(need_q & match, begin + fr + 1, out_l)
@@ -514,6 +558,10 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
                          (jnp.int32, jnp.int32), p)
     out_l = jnp.where(need, al, lo)
     out_r = jnp.where(need, ar, hi)
+    if stats:
+        ones = need.astype(jnp.int32)
+        counts = lax.psum(jnp.zeros((p,), jnp.int32).at[dest].add(ones), AXIS)
+        return out_l, out_r, counts
     return out_l, out_r
 
 
@@ -547,9 +595,12 @@ def write_desa(desa: DESA, prefix: str) -> None:
 
 
 def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
-              tli_bits: int = 24) -> DESA:
+              tli_bits: int = 24, tli: str = "tllt",
+              maxsize: int | None = None) -> DESA:
     """Load a persisted DESA (needs the original text, as the reference's
-    ``desa-main -l`` does); works on any mesh size."""
+    ``desa-main -l`` does); works on any mesh size.  ``tli``/``maxsize``
+    select the top-level index rebuilt on load (the files persist only
+    SA/LCP/Lc, like the reference's ``dist_desa::read``)."""
     from psac_tpu import io as io_mod
     from psac_tpu.parallel.mesh import block_sharding
 
@@ -568,7 +619,7 @@ def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
         return jax.device_put(full, block_sharding(mesh))
 
     return _assemble_desa(xs, alpha, n, N, pad_block(lcp), pad_block(sa),
-                          pad_block(lc), mesh, tli_bits)
+                          pad_block(lc), mesh, tli_bits, tli, maxsize)
 
 
 def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
@@ -577,7 +628,8 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
                             tab_v, tab_a,
                             xs_l, *, b: int, Lmax: int, p: int, n: int,
                             s: int, cap: int, rmq_block: int, m_samp: int,
-                            M_samp: int, samp_block: int):
+                            M_samp: int, samp_block: int,
+                            verify: bool = True, stats: bool = False):
     """bulk_locate with the TLDT top-level index (reference ``tldt::lookup``,
     include/tldt.hpp:466-470): the replicated sampled-LCP blind search runs
     at the pattern's origin shard; if it already consumed the whole pattern
@@ -615,23 +667,26 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
         fl = jnp.where(search, fl, l_loc)
         fr = jnp.where(search, fr, r_loc)
 
-        ver_row = jnp.where(rfin, l_loc, fl)
-        sal = sa_slab[jnp.clip(ver_row, 0, cap - 1)]
-        M = fl.shape[0]
-        pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-        in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
-        in_text = pos < n
-        flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
-        ch_dest = flatpos // s
+        if verify:
+            ver_row = jnp.where(rfin, l_loc, fl)
+            sal = sa_slab[jnp.clip(ver_row, 0, cap - 1)]
+            M = fl.shape[0]
+            pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+            in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
+            in_text = pos < n
+            flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
+            ch_dest = flatpos // s
 
-        def gather(recv2, recv2_valid):
-            (q2,) = recv2
-            return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
+            def gather(recv2, recv2_valid):
+                (q2,) = recv2
+                return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
 
-        (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
-        got = got.reshape(M, Lmax)
-        okc = jnp.where(in_pat, in_text & (got == rp), True)
-        match = jnp.all(okc, axis=1)
+            (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
+            got = got.reshape(M, Lmax)
+            okc = jnp.where(in_pat, in_text & (got == rp), True)
+            match = jnp.all(okc, axis=1)
+        else:
+            match = jnp.ones_like(need_q)
 
         out_l = jnp.where(rfin, rlo, begin + fl)
         out_r_full = jnp.where(rfin, rhi, begin + fr + 1)
@@ -646,4 +701,8 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
     # unrouted patterns have an empty lookup range -> empty result
     out_l = jnp.where(need, al, glo)
     out_r = jnp.where(need, ar, glo)
+    if stats:
+        ones = need.astype(jnp.int32)
+        counts = lax.psum(jnp.zeros((p,), jnp.int32).at[dest].add(ones), AXIS)
+        return out_l, out_r, counts
     return out_l, out_r

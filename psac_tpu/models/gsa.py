@@ -49,7 +49,7 @@ from psac_tpu.parallel.collectives import (
     halo_from_left,
     halo_from_right,
 )
-from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, mesh_key, num_shards, padded_size
 from psac_tpu.parallel.sort import dist_sort_local
 
 
@@ -209,7 +209,7 @@ def _gsa_inputs_fn(mesh, N: int, M: int, p: int):
     the block-sharded per-position ``eos`` from the (M,) replicated string
     boundary arrays (string ends are increasing, so a scatter of end markers
     at each start position + a global cummax yields eos)."""
-    key = (id(mesh), N, M)
+    key = (mesh_key(mesh), N, M)
     if key not in _GSA_INPUT_CACHE:
         from psac_tpu.parallel.collectives import global_cummax
         s = N // p
@@ -241,20 +241,24 @@ def _flatten(strings) -> tuple[bytes, np.ndarray]:
     return b"".join(parts), lens
 
 
-def _lcp_tiefix_local(lcp_l, sa_l, eos_l, *, s: int, p: int, N: int):
+def _lcp_tiefix_local(lcp_l, sa_l, eos_l, *, s: int, p: int, N: int,
+                      capscale: int | None = None):
     """Sentinel LCP rows (never-split groups of identical whole suffixes):
     LCP = the suffix's full length = eos[SA[g]] - SA[g]."""
-    from psac_tpu.parallel.route import route_apply
+    from psac_tpu.parallel.route import cap_for, route_apply
 
     r = lax.axis_index(AXIS).astype(jnp.int32)
+    need = lcp_l == N
     dest = jnp.clip(sa_l, 0, N - 1) // s
 
     def gather(recv, recv_valid):
         (q,) = recv
         return (eos_l[jnp.clip(q - r * s, 0, s - 1)],)
 
-    (eos_at_sa,) = route_apply((sa_l,), dest, gather, (jnp.int32,), p)
-    return jnp.where(lcp_l == N, eos_at_sa - sa_l, lcp_l)
+    (eos_at_sa,), ovf = route_apply((sa_l,), dest, gather, (jnp.int32,), p,
+                                    cap=cap_for(s, p, capscale), skip=~need,
+                                    with_overflow=True)
+    return jnp.where(need, eos_at_sa - sa_l, lcp_l), ovf
 
 
 def build_gsa_device(strings, mesh=None,
@@ -266,6 +270,9 @@ def build_gsa_device(strings, mesh=None,
     p = num_shards(mesh)
     flat, lens = _flatten(strings)
     n = len(flat)
+    if n >= (1 << 30):
+        # same int32 index ceiling as the SA path (encode_and_shard)
+        raise ValueError(f"string set too large for int32 indexes: {n}")
     alpha = Alphabet.from_bytes(flat)
     N = padded_size(max(n, 1), p, multiple=8)
     # ship raw uint8 text + the (m,) string ends; decode codes and expand
@@ -290,7 +297,7 @@ def build_gsa_device(strings, mesh=None,
                                             jnp.int32(n))
 
     k1, k2 = optimal_k(alpha.bits_per_char)
-    key = (id(mesh), N, k1, k2, alpha.bits_per_char, config.construct_lcp)
+    key = (mesh_key(mesh), N, k1, k2, alpha.bits_per_char, config.construct_lcp)
     if key not in _GSA_BUILDER_CACHE:
         if len(_GSA_BUILDER_CACHE) > 64:
             _GSA_BUILDER_CACHE.clear()
@@ -346,10 +353,16 @@ def build_gsa_device(strings, mesh=None,
         d *= 2
 
     if config.construct_lcp:
-        fix = jax.jit(jax.shard_map(
-            functools.partial(_lcp_tiefix_local, s=b.s, p=p, N=N),
-            mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS)))
-        lcp = fix(lcp, sa, eos)
+        for capscale in (6, None):
+            fix = jax.jit(jax.shard_map(
+                functools.partial(_lcp_tiefix_local, s=b.s, p=p, N=N,
+                                  capscale=capscale),
+                mesh=mesh, in_specs=(P(AXIS),) * 3,
+                out_specs=(P(AXIS), P())))
+            lcp_fixed, ovf = fix(lcp, sa, eos)
+            if capscale is None or p == 1 or int(ovf) == 0:
+                break
+        lcp = lcp_fixed
 
     return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
                      lens=lens, n=n, N=N, mesh=mesh)

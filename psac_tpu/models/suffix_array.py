@@ -46,7 +46,7 @@ from psac_tpu.parallel.collectives import (
     halo_from_right,
     shard_minima,
 )
-from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, mesh_key, num_shards, padded_size
 from psac_tpu.parallel.par_rmq import bulk_rmq_local
 from psac_tpu.parallel.route import route_apply, route_scatter
 from psac_tpu.parallel.sort import dist_sort_local, scatter_by_index_local
@@ -532,9 +532,10 @@ class _Builder:
         return outs_base + (lcp_new, ue)
 
 
-def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int):
+def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int,
+              capscale: int | None = None):
     """Lc[g] = text[SA[g-1] + LCP[g]] (0 past the end / at the first row)."""
-    from psac_tpu.parallel.route import route_apply
+    from psac_tpu.parallel.route import cap_for, route_apply
 
     N = s * p
     off = N - n
@@ -544,14 +545,15 @@ def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int):
     real = (g > off) & (idx < n)
     safe = jnp.clip(jnp.where(real, idx, 0), 0, N - 1)
     r = lax.axis_index(AXIS).astype(jnp.int32)
-    dest = jnp.where(real, safe // s, r)
 
     def gather(recv, recv_valid):
         (q,) = recv
         return (xs_l[jnp.clip(q - r * s, 0, s - 1)],)
 
-    (ch,) = route_apply((safe,), dest, gather, (jnp.int32,), p)
-    return jnp.where(real, ch, 0)
+    (ch,), ovf = route_apply((safe,), safe // s, gather, (jnp.int32,), p,
+                             cap=cap_for(s, p, capscale), skip=~real,
+                             with_overflow=True)
+    return jnp.where(real, ch, 0), ovf
 
 
 _LC_CACHE: dict = {}
@@ -565,13 +567,19 @@ def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
     if dsa.lcp is None:
         raise ValueError("Lc requires the LCP array")
     p = num_shards(dsa.mesh)
-    key = (id(dsa.mesh), dsa.N, dsa.n)
-    if key not in _LC_CACHE:
-        fn = jax.shard_map(
-            functools.partial(_lc_local, s=dsa.N // p, p=p, n=dsa.n),
-            mesh=dsa.mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS))
-        _LC_CACHE[key] = jax.jit(fn)
-    return _LC_CACHE[key](dsa.lcp, dsa.sa, xs)
+    for capscale in (6, None):
+        key = (mesh_key(dsa.mesh), dsa.N, dsa.n, capscale)
+        if key not in _LC_CACHE:
+            fn = jax.shard_map(
+                functools.partial(_lc_local, s=dsa.N // p, p=p, n=dsa.n,
+                                  capscale=capscale),
+                mesh=dsa.mesh, in_specs=(P(AXIS),) * 3,
+                out_specs=(P(AXIS), P()))
+            _LC_CACHE[key] = jax.jit(fn)
+        lc, ovf = _LC_CACHE[key](dsa.lcp, dsa.sa, xs)
+        if capscale is None or p == 1 or int(ovf) == 0:
+            break
+    return lc
 
 
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
@@ -579,7 +587,7 @@ _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 def _get_builder(mesh, N, k1, k2, bits, with_lcp) -> _Builder:
     """Reuse builders (and their jitted steps) across construction calls."""
-    key = (id(mesh), N, k1, k2, bits, with_lcp)
+    key = (mesh_key(mesh), N, k1, k2, bits, with_lcp)
     if key not in _BUILDER_CACHE:
         if len(_BUILDER_CACHE) > 64:
             _BUILDER_CACHE.clear()
@@ -616,7 +624,7 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
         xb = jax.device_put(padded, block_sharding(mesh))
         mapping = jax.device_put(alpha.mapping.astype(np.int32),
                                  NamedSharding(mesh, P()))
-        key = ("decode", id(mesh), N)
+        key = ("decode", mesh_key(mesh), N)
         if key not in _BUILDER_CACHE:
             _BUILDER_CACHE[key] = jax.jit(jax.shard_map(
                 lambda t, m: jnp.take(m, t.astype(jnp.int32)),

@@ -40,8 +40,8 @@ from psac_tpu.models.suffix_array import DeviceSuffixArray, construct_device, en
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
 from psac_tpu.parallel.ansv import NONSV, ansv_local
 from psac_tpu.parallel.collectives import global_index_base, halo_from_right
-from psac_tpu.parallel.mesh import AXIS, make_mesh, num_shards
-from psac_tpu.parallel.route import route_apply, route_scatter
+from psac_tpu.parallel.mesh import AXIS, make_mesh, mesh_key, num_shards
+from psac_tpu.parallel.route import cap_for, route_apply, route_scatter
 
 
 @dataclasses.dataclass
@@ -59,12 +59,13 @@ class DeviceSuffixTree:
         return full[self.N - self.n:]
 
 
-def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int):
+def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int,
+                  capscale: int | None = None):
     """Shared `for_each_parent` computation (leaf + internal edges).
 
     Returns per-edge (parents [padded coords], childs [node ids], elcp
     [parent depth], savals, valid), each of length 2s (leaf block then
-    internal block)."""
+    internal block), plus the routing-overflow count."""
     N = s * p
     off = N - n
     g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
@@ -73,7 +74,8 @@ def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int):
     lcp_adj = jnp.where(is_real, lcp_l, jnp.int32(-1))
     lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
 
-    lidx, lval, ridx, rval = ansv_local(lcp_adj, s, p, FURTHEST_EQ, NEAREST_SM)
+    lidx, lval, ridx, rval, ovf = ansv_local(
+        lcp_adj, s, p, FURTHEST_EQ, NEAREST_SM, capscale=capscale)
 
     nxt = halo_from_right(lcp_adj, 1, p, fill=0)
     lcp_next = jnp.concatenate([lcp_adj[1:], nxt])
@@ -100,74 +102,90 @@ def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int):
     elcp = jnp.concatenate([leaf_elcp, int_elcp])
     savals = jnp.concatenate([sa_l, sa_l])
     valid = jnp.concatenate([leaf_valid, int_valid])
-    return parents, childs, elcp, savals, valid
+    return parents, childs, elcp, savals, valid, ovf
 
 
-def _gather_from(arr_l, idx, valid, s: int, p: int):
-    """Bulk gather arr[idx] from a block-sharded array (invalid -> 0)."""
+def _gather_from(arr_l, idx, valid, s: int, p: int,
+                 capscale: int | None = None):
+    """Bulk gather arr[idx] from a block-sharded array (invalid -> 0).
+
+    Returns (values, overflow-count); ``capscale`` bounds the routing
+    buffers (reference ``bulk_rma``'s all2allv moves O(m); the capped
+    exchange matches that for balanced index distributions)."""
     N = s * p
     r = lax.axis_index(AXIS).astype(jnp.int32)
     safe = jnp.clip(jnp.where(valid, idx, 0), 0, N - 1)
-    dest = jnp.where(valid, safe // s, r)
+    dest = safe // s
 
     def gather(recv, recv_valid):
         (q,) = recv
         return (arr_l[jnp.clip(q - r * s, 0, s - 1)],)
 
-    (out,) = route_apply((safe,), dest, gather, (jnp.int32,), p)
-    return jnp.where(valid, out, 0)
+    (out,), ovf = route_apply((safe,), dest, gather, (jnp.int32,), p,
+                              cap=cap_for(idx.shape[0], p, capscale),
+                              skip=~valid, with_overflow=True)
+    return jnp.where(valid, out, 0), ovf
 
 
-def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int):
-    parents, childs, elcp, savals, valid = _parent_edges(lcp_l, sa_l, s, p, n)
+def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int,
+              capscale: int | None = None):
+    parents, childs, elcp, savals, valid, ovf = _parent_edges(
+        lcp_l, sa_l, s, p, n, capscale)
 
     # ---- first character of each edge (bulk gather from the text) ---------
     char_idx = savals + elcp
     dollar = char_idx >= n
-    ch = _gather_from(xs_l, char_idx, valid & ~dollar, s, p)
+    ch, ovf_g = _gather_from(xs_l, char_idx, valid & ~dollar, s, p, capscale)
     slot = jnp.where(dollar, 0, ch)
 
     # ---- scatter child ids into the flat (N, sigma+1) node table ----------
     width = sigma + 1
     flat_dest = parents * jnp.int32(width) + slot
     nodes = jnp.zeros((s * width,), jnp.int32)
-    (nodes,) = route_scatter(flat_dest, (childs,), (nodes,), valid, s * width, p)
-    return nodes
+    (nodes,), ovf_s = route_scatter(
+        flat_dest, (childs,), (nodes,), valid, s * width, p,
+        cap=cap_for(flat_dest.shape[0], p, capscale), with_overflow=True)
+    return nodes, ovf + ovf_g + ovf_s
 
 
-def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int):
+def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
+               capscale: int | None = None):
     """Generalized suffix tree node table (reference ``construct_gst``,
     ``include/suffix_tree.hpp:521-608``): sigma+2 slots per node; slots 0-1
     hold the (min, max) child-id range of all ``$``-edges (one string may
     end per leaf, many per node); root-depth edges (lcp 0) are not recorded
     (reference drops ``root_edges``, suffix_tree.hpp:546-552)."""
-    parents, childs, elcp, savals, valid = _parent_edges(lcp_l, sa_l, s, p, n)
+    parents, childs, elcp, savals, valid, ovf = _parent_edges(
+        lcp_l, sa_l, s, p, n, capscale)
     width = sigma + 2
     INF = jnp.iinfo(jnp.int32).max
 
-    eos_at = _gather_from(eos_l, savals, valid, s, p)
+    eos_at, ovf1 = _gather_from(eos_l, savals, valid, s, p, capscale)
     char_idx = savals + elcp
     dollar = char_idx >= eos_at
     rootdrop = elcp == 0
     valid_reg = valid & ~dollar & ~rootdrop
     valid_dlr = valid & dollar & ~rootdrop
 
-    ch = _gather_from(xs_l, char_idx, valid_reg, s, p)
+    ch, ovf2 = _gather_from(xs_l, char_idx, valid_reg, s, p, capscale)
 
     nodes = jnp.zeros((s * width,), jnp.int32)
     idx0 = jnp.arange(s, dtype=jnp.int32) * width
     nodes = nodes.at[idx0].set(INF)  # slot 0 accumulates a min
 
+    scap = cap_for(parents.shape[0], p, capscale)
     flat_reg = parents * jnp.int32(width) + ch + 1
-    (nodes,) = route_scatter(flat_reg, (childs,), (nodes,), valid_reg,
-                             s * width, p)
+    (nodes,), ovf3 = route_scatter(flat_reg, (childs,), (nodes,), valid_reg,
+                                   s * width, p, cap=scap, with_overflow=True)
     flat_d0 = parents * jnp.int32(width)
-    (nodes,) = route_scatter(flat_d0, (childs,), (nodes,), valid_dlr,
-                             s * width, p, combine=("min",))
-    (nodes,) = route_scatter(flat_d0 + 1, (childs,), (nodes,), valid_dlr,
-                             s * width, p, combine=("max",))
+    (nodes,), ovf4 = route_scatter(flat_d0, (childs,), (nodes,), valid_dlr,
+                                   s * width, p, combine=("min",), cap=scap,
+                                   with_overflow=True)
+    (nodes,), ovf5 = route_scatter(flat_d0 + 1, (childs,), (nodes,), valid_dlr,
+                                   s * width, p, combine=("max",), cap=scap,
+                                   with_overflow=True)
     nodes = nodes.at[idx0].set(jnp.where(nodes[idx0] == INF, 0, nodes[idx0]))
-    return nodes
+    return nodes, ovf + ovf1 + ovf2 + ovf3 + ovf4 + ovf5
 
 
 _ST_CACHE: dict = {}
@@ -181,13 +199,18 @@ def construct_suffix_tree_device(dsa: DeviceSuffixArray, xs, mesh) -> DeviceSuff
     p = num_shards(mesh)
     s = dsa.N // p
     sigma = dsa.alphabet.sigma
-    key = (id(mesh), dsa.N, dsa.n, sigma)
-    if key not in _ST_CACHE:
-        fn = jax.shard_map(
-            functools.partial(_st_local, s=s, p=p, n=dsa.n, sigma=sigma),
-            mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=P(AXIS))
-        _ST_CACHE[key] = jax.jit(fn)
-    nodes = _ST_CACHE[key](dsa.lcp, dsa.sa, xs)
+    for capscale in (6, None):
+        key = (mesh_key(mesh), dsa.N, dsa.n, sigma, capscale)
+        if key not in _ST_CACHE:
+            fn = jax.shard_map(
+                functools.partial(_st_local, s=s, p=p, n=dsa.n, sigma=sigma,
+                                  capscale=capscale),
+                mesh=mesh, in_specs=(P(AXIS),) * 3,
+                out_specs=(P(AXIS), P()))
+            _ST_CACHE[key] = jax.jit(fn)
+        nodes, ovf = _ST_CACHE[key](dsa.lcp, dsa.sa, xs)
+        if capscale is None or p == 1 or int(ovf) == 0:
+            break
     return DeviceSuffixTree(nodes=nodes, sigma=sigma, n=dsa.n, N=dsa.N)
 
 
@@ -211,13 +234,18 @@ def construct_gst_device(dgsa) -> DeviceSuffixTree:
     p = num_shards(mesh)
     s = dgsa.N // p
     sigma = dgsa.alphabet.sigma
-    key = (id(mesh), dgsa.N, dgsa.n, sigma)
-    if key not in _GST_CACHE:
-        fn = jax.shard_map(
-            functools.partial(_gst_local, s=s, p=p, n=dgsa.n, sigma=sigma),
-            mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=P(AXIS))
-        _GST_CACHE[key] = jax.jit(fn)
-    nodes = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
+    for capscale in (6, None):
+        key = (mesh_key(mesh), dgsa.N, dgsa.n, sigma, capscale)
+        if key not in _GST_CACHE:
+            fn = jax.shard_map(
+                functools.partial(_gst_local, s=s, p=p, n=dgsa.n, sigma=sigma,
+                                  capscale=capscale),
+                mesh=mesh, in_specs=(P(AXIS),) * 4,
+                out_specs=(P(AXIS), P()))
+            _GST_CACHE[key] = jax.jit(fn)
+        nodes, ovf = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
+        if capscale is None or p == 1 or int(ovf) == 0:
+            break
     return DeviceSuffixTree(nodes=nodes, sigma=sigma + 1, n=dgsa.n, N=dgsa.N)
 
 

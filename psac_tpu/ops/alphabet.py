@@ -70,6 +70,23 @@ def rand_dna(n: int, seed: int = 0) -> bytes:
     return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
 
 
+def rep_dna(n: int, unit_len: int = 16384, seed: int = 0,
+            mutations: int | None = None) -> bytes:
+    """Repetitive DNA: a random unit tiled to length n with sparse point
+    mutations — the adversarial corpus class for prefix doubling (long
+    repeats keep every suffix's bucket large for ~log2(unit_len)
+    iterations).  The BASELINE.md repetitive config uses the defaults
+    (16 KiB unit, ~1 mutation per 8 KiB)."""
+    unit = np.frombuffer(rand_dna(unit_len, seed=seed + 3), np.uint8)
+    reps = -(-n // unit_len)
+    arr = np.tile(unit, reps)[:n].copy()
+    rng = np.random.RandomState(seed)
+    k = mutations if mutations is not None else max(1, n // 8192)
+    idx = rng.randint(0, n, k)
+    arr[idx] = np.frombuffer(b"ACGT", np.uint8)[rng.randint(0, 4, k)]
+    return arr.tobytes()
+
+
 @dataclasses.dataclass(frozen=True)
 class IntAlphabet:
     """Alphabet over wide integer characters via global min/max (reference

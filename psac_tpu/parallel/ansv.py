@@ -32,8 +32,8 @@ from jax.sharding import PartitionSpec as P
 
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM
 from psac_tpu.ops.walk import INT32_INF, build_min_table, next_leq, prev_lt
-from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, num_shards, padded_size
-from psac_tpu.parallel.route import route_apply
+from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, mesh_key, num_shards, padded_size
+from psac_tpu.parallel.route import cap_for, route_apply
 
 NONSV = INT32_INF
 
@@ -55,8 +55,10 @@ def _shard_first_eq(sm, v, tlo, thi):
     return jnp.min(jnp.where(ok, t, p), axis=1)
 
 
-def _left_nearest(x, table, sm, s: int, p: int, strict: bool):
-    """nearest_sm (strict) / nearest_eq left matches; returns (gidx, value)."""
+def _left_nearest(x, table, sm, s: int, p: int, strict: bool,
+                  cap: int | None = None):
+    """nearest_sm (strict) / nearest_eq left matches; returns
+    (gidx, value, overflow-count)."""
     v = x
     i_loc = jnp.arange(s, dtype=jnp.int32)
     r = lax.axis_index(AXIS).astype(jnp.int32)
@@ -66,7 +68,8 @@ def _left_nearest(x, table, sm, s: int, p: int, strict: bool):
     jl = prev_lt(table, i_loc, v, strict=strict)
     found = jl >= 0
     C = _shard_last_lt(sm, v, r_vec, strict)
-    dest = jnp.where(found | (C < 0), r, C)
+    skip = found | (C < 0)
+    dest = jnp.clip(C, 0, p - 1)
 
     def answer(recv, recv_valid):
         (qv,) = recv
@@ -75,14 +78,17 @@ def _left_nearest(x, table, sm, s: int, p: int, strict: bool):
         val = x[jnp.maximum(j, 0)]
         return (jnp.where(ok, base + j, NONSV), jnp.where(ok, val, 0))
 
-    ridx, rval = route_apply((v,), dest, answer, (jnp.int32, jnp.int32), p)
+    (ridx, rval), ovf = route_apply((v,), dest, answer,
+                                    (jnp.int32, jnp.int32), p, cap=cap,
+                                    skip=skip, with_overflow=True)
     idx = jnp.where(found, base + jl, jnp.where(C >= 0, ridx, NONSV))
     val = jnp.where(found, x[jnp.maximum(jl, 0)], jnp.where(C >= 0, rval, 0))
-    return idx, val
+    return idx, val, ovf
 
 
-def _left_furthest_eq(x, table, sm, s: int, p: int):
-    """furthest_eq left matches; returns (gidx, value).
+def _left_furthest_eq(x, table, sm, s: int, p: int,
+                      cap: int | None = None):
+    """furthest_eq left matches; returns (gidx, value, overflow-count).
 
     Three-stage resolution: (a) nearest strictly-smaller j* (local walk or
     round-1 route; the owner also reports the leftmost *visible* occurrence
@@ -102,7 +108,7 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
     has_loc = jstar >= 0
     C = _shard_last_lt(sm, v, r_vec, strict=True)
     has_rem = (~has_loc) & (C >= 0)
-    dest1 = jnp.where(has_rem, C, r)
+    dest1 = jnp.clip(C, 0, p - 1)
 
     def answer1(recv, recv_valid):
         (qv,) = recv
@@ -121,8 +127,9 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
                 base + jnp.minimum(e_after, s - 1),
                 (e_after < s).astype(jnp.int32))
 
-    g1, v2_1, eh1, ext1, ea1, ea1_ok = route_apply(
-        (v,), dest1, answer1, (jnp.int32,) * 6, p)
+    (g1, v2_1, eh1, ext1, ea1, ea1_ok), ovf1 = route_apply(
+        (v,), dest1, answer1, (jnp.int32,) * 6, p, cap=cap, skip=~has_rem,
+        with_overflow=True)
 
     # same run info computed locally for elements whose j* is in-shard
     jsafe = jnp.maximum(jstar, 0)
@@ -162,9 +169,11 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
 
     # round 2, query A: equal-of-v shard (t_eq) or blocker-suffix (C2)
     qval_a = jnp.where(t_eq_ok, v, v2)
-    dest_a = jnp.where(t_eq_ok, t_eq, jnp.where(want_c2, C2, r))
+    skip_a = ~(t_eq_ok | want_c2)
+    dest_a = jnp.clip(jnp.where(t_eq_ok, t_eq, C2), 0, p - 1)
     # round 2, query B: run-continuation shard t2
-    dest_b = jnp.where(want_t2, t2, r)
+    skip_b = ~want_t2
+    dest_b = jnp.clip(t2, 0, p - 1)
 
     def answer2(recv, recv_valid):
         # leftmost occurrence of qv after this shard's last element < qv
@@ -174,8 +183,11 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
         e = next_leq(table, j0, qv)
         return (base + jnp.minimum(e, s - 1), (e < s).astype(jnp.int32))
 
-    e_a, e_a_ok = route_apply((qval_a,), dest_a, answer2, (jnp.int32,) * 2, p)
-    e_b, _ = route_apply((v2,), dest_b, answer2, (jnp.int32,) * 2, p)
+    (e_a, e_a_ok), ovf2 = route_apply((qval_a,), dest_a, answer2,
+                                      (jnp.int32,) * 2, p, cap=cap,
+                                      skip=skip_a, with_overflow=True)
+    (e_b, _), ovf3 = route_apply((v2,), dest_b, answer2, (jnp.int32,) * 2, p,
+                                 cap=cap, skip=skip_b, with_overflow=True)
 
     ext_idx = jnp.where(want_c2 & (e_a_ok != 0), e_a,
                         jnp.where(want_t2, e_b, e_home))
@@ -187,7 +199,7 @@ def _left_furthest_eq(x, table, sm, s: int, p: int):
                                       NONSV))))
     val = jnp.where(e_after_ok | t_eq_ok | e_loc_ok, v,
                     jnp.where(has_star, v2, 0))
-    return idx, val
+    return idx, val, ovf1 + ovf2 + ovf3
 
 
 def _left_match_local_only(x, s: int, typ: int):
@@ -237,14 +249,16 @@ def _left_match_p1(x, s: int, typ: int):
     return lax.cond(ovf == 0, scan_res, walk_res, None)
 
 
-def _left_match(x, s: int, p: int, typ: int):
+def _left_match(x, s: int, p: int, typ: int, cap: int | None = None):
     if p == 1:
-        return _left_match_p1(x, s, typ)
+        idx, val = _left_match_p1(x, s, typ)
+        return idx, val, jnp.int32(0)
     table = build_min_table(x)
     sm = lax.all_gather(jnp.min(x), AXIS)
     if typ == FURTHEST_EQ:
-        return _left_furthest_eq(x, table, sm, s, p)
-    return _left_nearest(x, table, sm, s, p, strict=(typ == NEAREST_SM))
+        return _left_furthest_eq(x, table, sm, s, p, cap=cap)
+    return _left_nearest(x, table, sm, s, p, strict=(typ == NEAREST_SM),
+                         cap=cap)
 
 
 def _reverse_dist(x, p: int):
@@ -255,20 +269,25 @@ def _reverse_dist(x, p: int):
     return lax.ppermute(rev, AXIS, [(i, p - 1 - i) for i in range(p)])
 
 
-def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int):
+def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
+               capscale: int | None = None):
     """Distributed ANSV inside shard_map.
 
-    Returns (lidx, lval, ridx, rval): global match indices (NONSV when no
-    match) and the array values at the matches.
+    Returns (lidx, lval, ridx, rval, ovf): global match indices (NONSV when
+    no match), the array values at the matches, and the psum'd count of
+    routing-capacity overflows (``capscale`` bounds the per-destination
+    routing buffers via ``route.cap_for``; nonzero ovf means the caller must
+    retry with a larger capscale — results are incomplete).
     """
-    lidx, lval = _left_match(x_l, s, p, left_type)
+    cap = cap_for(s, p, capscale)
+    lidx, lval, ovf_l = _left_match(x_l, s, p, left_type, cap=cap)
     xr = _reverse_dist(x_l, p)
-    ridx_r, rval_r = _left_match(xr, s, p, right_type)
+    ridx_r, rval_r, ovf_r = _left_match(xr, s, p, right_type, cap=cap)
     ridx_r = _reverse_dist(ridx_r, p)
     rval = _reverse_dist(rval_r, p)
     N = s * p
     ridx = jnp.where(ridx_r == NONSV, NONSV, N - 1 - ridx_r)
-    return lidx, lval, ridx, rval
+    return lidx, lval, ridx, rval, ovf_l + ovf_r
 
 
 _JIT_CACHE: dict = {}
@@ -290,15 +309,19 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
     xp[:n] = np.asarray(arr, np.int32)
     xs = jax.device_put(xp, block_sharding(mesh))
 
-    key = (id(mesh), N, left_type, right_type)
-    if key not in _JIT_CACHE:
-        s = N // p
-        fn = jax.shard_map(
-            functools.partial(ansv_local, s=s, p=p,
-                              left_type=left_type, right_type=right_type),
-            mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS),) * 4)
-        _JIT_CACHE[key] = jax.jit(fn)
-    lidx, _, ridx, _ = _JIT_CACHE[key](xs)
+    s = N // p
+    for capscale in (4, None):
+        key = (mesh_key(mesh), N, left_type, right_type, capscale)
+        if key not in _JIT_CACHE:
+            fn = jax.shard_map(
+                functools.partial(ansv_local, s=s, p=p, left_type=left_type,
+                                  right_type=right_type, capscale=capscale),
+                mesh=mesh, in_specs=(P(AXIS),),
+                out_specs=(P(AXIS),) * 4 + (P(),))
+            _JIT_CACHE[key] = jax.jit(fn)
+        lidx, _, ridx, _, ovf = _JIT_CACHE[key](xs)
+        if capscale is None or int(ovf) == 0:
+            break
     sent = n if nonsv is None else nonsv
     left = np.asarray(jax.device_get(lidx))[:n].astype(np.int64)
     right = np.asarray(jax.device_get(ridx))[:n].astype(np.int64)

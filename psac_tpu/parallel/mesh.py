@@ -37,6 +37,18 @@ def num_shards(mesh: Mesh) -> int:
     return mesh.shape[AXIS]
 
 
+def mesh_key(mesh: Mesh) -> tuple:
+    """Stable cache key for a mesh: geometry + device identity.
+
+    ``id(mesh)`` is unsafe as a jit-cache key — a garbage-collected mesh's id
+    can be reused by a new mesh with different geometry, silently serving
+    stale compiled programs.  Keying on the axis shape and the device ids is
+    cheap and collision-free.
+    """
+    return (tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def padded_size(n: int, p: int, multiple: int = 8) -> int:
     """Global padded size: divisible by p, lane-friendly, and quantized.
 

@@ -4,10 +4,17 @@ The reference routes irregular per-element messages with MPI's ragged
 ``all2allv`` (``include/bulk_rma.hpp:13-135``, ``mxx::all2all_func``).
 SPMD/XLA requires static shapes, so routing here uses a *capacity-padded*
 exchange: each shard buckets its m records by destination shard into a
-(p, cap) buffer with cap = m (always sufficient: a shard can address at most
-m records to one destination), performs one ``lax.all_to_all``, computes
-answers at the owner, and reverses the exchange. Volume is p*m per shard, so
-callers chunk large batches (the construction driver does).
+(p, cap) buffer, performs one ``lax.all_to_all``, computes answers at the
+owner, and reverses the exchange.
+
+``cap`` is the per-destination send capacity.  The worst case is cap = m
+(every record to one destination; the default), giving O(p*m) buffers — the
+reference's all2allv moves O(m).  Callers with statistically balanced
+destinations (bulk gathers by position, the tail / query paths) pass
+cap ≈ a small multiple of m/p for O(m)-total buffers; records beyond a
+destination's capacity are *dropped* (answers fill with zeros) and counted
+in a psum'd overflow scalar, which ``with_overflow=True`` surfaces so the
+host can retry the whole jitted call with a doubled capacity.
 
 All functions run inside shard_map over the 1-D mesh axis.
 """
@@ -23,15 +30,32 @@ from psac_tpu.parallel.mesh import AXIS
 INT32_INF = jnp.iinfo(jnp.int32).max
 
 
-def _bucket_by_dest(dest, p: int):
+def cap_for(m: int, p: int, capscale: int | None) -> int | None:
+    """Per-destination send capacity for ~balanced destinations.
+
+    ``capscale`` bounds the tolerated imbalance: capacity = capscale * ceil
+    (m/p) + 64.  None (or capscale >= p) selects the worst-case cap = m
+    (never overflows).  Callers retry with a larger scale on overflow.
+    """
+    if capscale is None or capscale >= p:
+        return None
+    return min(m, capscale * (-(-m // p)) + 64)
+
+
+def _bucket_by_dest(dest, p: int, cap: int, skip=None):
     """Stable-bucket local records by destination shard.
 
-    Returns (order, slot, flat_pos): record ``order[t]`` (original index) goes
-    to flat buffer position ``flat_pos[t] = dest_sorted[t]*cap + slot[t]``.
+    Returns (order, dropped mask, overflow mask, flat_pos): record
+    ``order[t]`` (original index) goes to flat buffer position
+    ``flat_pos[t] = dest_sorted[t]*cap + slot[t]``.  Records with ``skip``
+    True are not routed at all (they sort last and take the drop slot p*cap
+    without consuming capacity); records whose slot exceeds ``cap``
+    overflow (dropped + counted).
     """
     m = dest.shape[0]
-    order = jnp.argsort(dest, stable=True)
-    dsort = dest[order]
+    dkey = dest if skip is None else jnp.where(skip, jnp.int32(p), dest)
+    order = jnp.argsort(dkey, stable=True)
+    dsort = dkey[order]
     # slot within the destination bucket = position - start of the run
     # (runs are contiguous in dsort; cummax of the run-start positions —
     # NOT searchsorted, which lowers to a ~20x slower kernel on TPU)
@@ -40,43 +64,62 @@ def _bucket_by_dest(dest, p: int):
         [jnp.ones((1,), jnp.bool_), dsort[1:] != dsort[:-1]])
     start = lax.cummax(jnp.where(is_start, i, 0))
     slot = i - start
-    flat_pos = dsort.astype(jnp.int32) * m + slot
-    return order, dsort, flat_pos
+    skipped = dsort >= p
+    ovf = (slot >= cap) & ~skipped
+    dropped = ovf | skipped
+    flat_pos = jnp.where(dropped, jnp.int32(p * cap),
+                         dsort.astype(jnp.int32) * cap + slot)
+    return order, dropped, ovf, flat_pos
 
 
-def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int):
+def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int,
+                cap: int | None = None, skip=None,
+                with_overflow: bool = False):
     """Round-trip routing: ship records to ``dest`` shards, apply, return answers.
 
     Args:
       payloads: tuple of (m, ...) local arrays (the record fields; trailing
         dims are carried along, e.g. a (m, Lmax) pattern matrix).
       dest: (m,) destination shard of each record (int32, in [0, p)).
-      answer_fn: fn(received_payloads: tuple of (p*m, ...), valid: (p*m,) bool)
-        -> tuple of (p*m, ...) answers, evaluated on the owner shard.
+      answer_fn: fn(received_payloads: tuple of (p*cap, ...), valid:
+        (p*cap,) bool) -> tuple of (p*cap, ...) answers, evaluated on the
+        owner shard.
       out_dtypes: dtypes of the answers.
+      cap: per-destination send capacity (default m = never overflows).
+      skip: optional (m,) bool — records resolved locally; they are not
+        routed, consume no capacity, and get zero answers.
+      with_overflow: also return the psum'd count of overflowed records.
     Returns:
-      tuple of (m, ...) answer arrays aligned with the original record order.
+      tuple of (m, ...) answer arrays aligned with the original record order
+      (skipped/overflowed records get zeros); plus the overflow count if
+      requested.
     """
     m = dest.shape[0]
+    if cap is None:
+        cap = m
+    cap = min(cap, m)
     if p == 1:
         # single shard: every record is already at its owner
-        return answer_fn(tuple(payloads), jnp.ones((m,), jnp.bool_))
-    order, dsort, flat_pos = _bucket_by_dest(dest, p)
-    buf_len = p * m
+        valid = jnp.ones((m,), jnp.bool_) if skip is None else ~skip
+        outs = answer_fn(tuple(payloads), valid)
+        if with_overflow:
+            return outs, jnp.int32(0)
+        return outs
+    order, dropped, ovf, flat_pos = _bucket_by_dest(dest, p, cap, skip)
+    buf_len = p * cap
 
     def to_buf(x, fill=0):
-        shape = (buf_len,) + x.shape[1:]
-        return jnp.full(shape, fill, x.dtype).at[flat_pos].set(x[order])
+        shape = (buf_len + 1,) + x.shape[1:]
+        return jnp.full(shape, fill, x.dtype).at[flat_pos].set(x[order])[:buf_len]
 
     def exchange(x):
-        if p == 1:
-            return x
-        shaped = x.reshape((p, m) + x.shape[1:])
+        shaped = x.reshape((p, cap) + x.shape[1:])
         out = lax.all_to_all(shaped, AXIS, split_axis=0, concat_axis=0)
         return out.reshape((buf_len,) + x.shape[1:])
 
     sent = tuple(to_buf(x) for x in payloads)
-    sent_valid = jnp.zeros((buf_len,), jnp.bool_).at[flat_pos].set(True)
+    sent_valid = jnp.zeros((buf_len + 1,), jnp.bool_).at[flat_pos].set(
+        True)[:buf_len]
 
     recv = tuple(exchange(x) for x in sent)
     recv_valid = exchange(sent_valid)
@@ -88,20 +131,28 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int):
 
     # un-bucket: answer of original record order[t] sits at flat_pos[t]
     outs = []
+    safe_pos = jnp.minimum(flat_pos, buf_len - 1)
     for a, dt in zip(back, out_dtypes):
-        picked = a[flat_pos]  # aligned with sorted order
+        picked = a[safe_pos]  # aligned with sorted order
+        mask = dropped if picked.ndim == 1 else dropped[:, None]
+        picked = jnp.where(mask, jnp.zeros_like(picked), picked)
         outs.append(jnp.zeros((m,) + a.shape[1:], dt).at[order].set(picked))
+    if with_overflow:
+        novf = lax.psum(jnp.sum(ovf.astype(jnp.int32)), AXIS)
+        return tuple(outs), novf
     return tuple(outs)
 
 
 def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int,
-                  combine: tuple | None = None):
+                  combine: tuple | None = None, cap: int | None = None,
+                  with_overflow: bool = False):
     """One-way scatter: targets[k][dest_idx[j] - shard_base] = values[k][j] at the owner.
 
     ``dest_idx`` are *global* element indices; records with ``valid`` False are
     dropped. ``combine`` selects per-target accumulation: "set" (default,
     last-writer), "min", or "max" (used by the GST's ``$``-edge leaf-range
-    slots). Returns the updated target arrays (each (s,) local).
+    slots). ``cap``/``with_overflow`` as in ``route_apply``. Returns the
+    updated target arrays (each (s,) local).
     """
     m = dest_idx.shape[0]
     safe_idx = jnp.where(valid, dest_idx, 0)
@@ -123,22 +174,27 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
             else:
                 raise ValueError(how)
             outs.append(padded[:s])
+        if with_overflow:
+            return tuple(outs), jnp.int32(0)
         return tuple(outs)
+    if cap is None:
+        cap = m
+    cap = min(cap, m)
     dest = (safe_idx // s).astype(jnp.int32)
-    order, dsort, flat_pos = _bucket_by_dest(dest, p)
-    buf_len = p * m
+    # invalid records are never routed (consume no capacity)
+    order, dropped, ovf, flat_pos = _bucket_by_dest(dest, p, cap, skip=~valid)
+    buf_len = p * cap
 
     def to_buf(x, fill=0):
-        return jnp.full((buf_len,), fill, x.dtype).at[flat_pos].set(x[order])
+        return jnp.full((buf_len + 1,), fill, x.dtype).at[flat_pos].set(
+            x[order])[:buf_len]
 
     sent = (to_buf(safe_idx),) + tuple(to_buf(v) for v in values)
-    sent_valid = jnp.zeros((buf_len,), jnp.bool_).at[flat_pos].set(valid[order])
+    sent_valid = jnp.zeros((buf_len + 1,), jnp.bool_).at[flat_pos].set(
+        valid[order])[:buf_len]
 
-    if p > 1:
-        recv = tuple(lax.all_to_all(x.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
-        recv_valid = lax.all_to_all(sent_valid.reshape(p, m), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
-    else:
-        recv, recv_valid = sent, sent_valid
+    recv = tuple(lax.all_to_all(x.reshape(p, cap), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
+    recv_valid = lax.all_to_all(sent_valid.reshape(p, cap), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
 
     base = lax.axis_index(AXIS).astype(jnp.int32) * s
     loc = recv[0] - base
@@ -156,4 +212,7 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
         else:
             raise ValueError(how)
         outs.append(padded[:s])
+    if with_overflow:
+        novf = lax.psum(jnp.sum(ovf.astype(jnp.int32)), AXIS)
+        return tuple(outs), novf
     return tuple(outs)

@@ -24,7 +24,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from psac_tpu.parallel.collectives import global_index_base, halo_from_right
-from psac_tpu.parallel.mesh import AXIS, num_shards
+from psac_tpu.parallel.mesh import AXIS, mesh_key, num_shards
 from psac_tpu.parallel.route import route_apply, route_scatter
 
 
@@ -115,7 +115,7 @@ _CHECK_CACHE: dict = {}
 def d_check_sa(dsa, xs) -> bool:
     """Distributed SA check on device arrays (nothing gathered to host)."""
     p = num_shards(dsa.mesh)
-    key = (id(dsa.mesh), dsa.N, dsa.n)
+    key = (mesh_key(dsa.mesh), dsa.N, dsa.n)
     if key not in _CHECK_CACHE:
         fn = jax.shard_map(
             functools.partial(_d_check_local, s=dsa.N // p, p=p, n=dsa.n),

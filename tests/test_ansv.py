@@ -95,7 +95,9 @@ def test_furthest_eq_is_canonical(mesh8):
 @pytest.mark.parametrize("lt", TYPES)
 @pytest.mark.parametrize("rt", TYPES)
 def test_dist_vs_oracle_single_shard(mesh1, lt, rt):
-    """p==1 exercises the Pallas run-stack scan path (interpret mode on CPU)."""
+    """p==1 single-shard semantics (on non-TPU backends this takes the walk
+    fallback, not the Pallas kernel — see test_nsv_scan_kernel_interpret for
+    direct kernel coverage)."""
     from psac_tpu.parallel.ansv import ansv
     for name, a in inputs():
         n = len(a)
@@ -103,3 +105,26 @@ def test_dist_vs_oracle_single_shard(mesh1, lt, rt):
         got_l, got_r = ansv(a, lt, rt, mesh=mesh1)
         np.testing.assert_array_equal(got_l, want_l, err_msg=f"left {name}")
         np.testing.assert_array_equal(got_r, want_r, err_msg=f"right {name}")
+
+
+@pytest.mark.parametrize("typ", TYPES)
+def test_nsv_scan_kernel_interpret(typ):
+    """Direct coverage of the Pallas run-stack scan (ops/nsv_scan.py) in
+    interpret mode, outside shard_map — the kernel the TPU suffix-tree path
+    depends on has no other CPU coverage."""
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_left
+
+    rng = np.random.RandomState(11)
+    for a in [rng.randint(0, 5, size=2 * CHUNK).astype(np.int32),
+              rng.randint(0, 10**6, size=CHUNK).astype(np.int32)]:
+        want_l = ansv_seq(a, typ, typ)[0]
+        idx, val, ovf = nsv_scan_left(jnp.asarray(a), typ, True)
+        assert int(ovf) == 0
+        got = np.asarray(idx, np.int64)
+        got[got < 0] = NONSV
+        np.testing.assert_array_equal(got, want_l)
+        has = want_l != NONSV
+        np.testing.assert_array_equal(np.asarray(val)[has],
+                                      a[want_l[has].astype(np.int64)])

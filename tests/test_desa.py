@@ -86,3 +86,41 @@ def test_desa_tldt_repeats(mesh8):
     sa = suffix_array_np(text)
     check_patterns(desa, text, sa,
                    [b"ab", b"ba", b"bb", b"abab" * 10, b"bba", b"aa", b"b"])
+
+
+def test_locate_possible(mesh8):
+    """Reference ``locate_possible`` parity (include/desa.hpp:531-555): the
+    unverified candidate range equals the exact range for occurring patterns
+    and contains the blind-search candidate for absent ones."""
+    from psac_tpu.models.desa import build_desa
+    text = rand_dna(2000, seed=17)
+    desa = build_desa(text, mesh=mesh8)
+    sa = suffix_array_np(text)
+    present = [text[100:108], text[5:6], text[900:925]]
+    for pat in present:
+        l, r = desa.locate_possible(pat)
+        el, er = desa.locate(pat)
+        assert (l, r) == (el, er)
+        assert sorted(sa[l:r].tolist()) == occurrences(text, pat)
+    # absent pattern: possible may be a spurious nonempty range, but the
+    # verified locate must be empty
+    absent = b"ACGT" * 3 + b"AAAAAAAAAAAAAAAA"
+    el, er = desa.locate(absent)
+    assert el == er
+    pl, pr = desa.locate_possible(absent)
+    assert pr - pl >= 0  # well-formed
+
+
+def test_read_desa_tli_passthrough(mesh8, tmp_path):
+    """read_desa must preserve the requested TLI kind (tldt indexes were
+    silently reloading as tllt)."""
+    from psac_tpu.models.desa import build_desa, read_desa, write_desa
+    text = rand_dna(1500, seed=23)
+    desa = build_desa(text, mesh=mesh8, tli="tldt", maxsize=8)
+    prefix = str(tmp_path / "idx")
+    write_desa(desa, prefix)
+    loaded = read_desa(text, prefix, mesh=mesh8, tli="tldt", maxsize=8)
+    assert loaded.tli == "tldt"
+    sa = suffix_array_np(text)
+    pats = [text[7:19], text[100:103], b"GGGGGGGGGGGGGGGGGG"]
+    check_patterns(loaded, text, sa, pats)
