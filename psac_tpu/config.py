@@ -21,9 +21,11 @@ def index_dtype(n: int):
 
     Mirrors the reference's ``index_t`` template parameter
     (``include/suffix_array.hpp:170``); int32 keeps sort keys and
-    collectives at half the HBM traffic of int64.
+    collectives at half the HBM traffic of int64.  The int32 ceiling is
+    2^30: bucket ids reach N+1 and doubling distances reach 2N, both of
+    which must stay below 2^31.
     """
-    return jnp.int32 if n <= INT32_MAX else jnp.int64
+    return jnp.int32 if n < (1 << 30) else jnp.int64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +51,9 @@ class SAConfig:
         round trip per construction phase (tens of ms each on remote
         transports); falls back to the host-driven loop when the active
         set after init exceeds the fused tail capacity (~N/8).
+      force_int64: build with int64 indexes even for small texts (texts of
+        >= 2^30 chars select int64 automatically — the reference's uint64
+        ``index_t`` builds, ``src/psac.cpp:54``).
     """
 
     construct_lcp: bool = True
@@ -58,6 +63,12 @@ class SAConfig:
     tail_capacity_mult: float = 1.25
     factor: int = 2
     fused: bool = True
+    force_int64: bool = False
+    # dense-phase prefix-multiplication factor of the fused single-shard
+    # path (2 = doubling, 4 = quadrupling WITH interleaved LCP — beyond the
+    # reference, whose construct_arr<L> is SA-only); repeat-heavy corpora
+    # halve their dense iteration count at ~30% extra sort width
+    dense_factor: int = 4
 
 
 DEFAULT = SAConfig()

@@ -304,6 +304,27 @@ def _sample_mask_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
     return keep
 
 
+def _sample_mask_count_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
+    keep = _sample_mask_local(lcp_l, s=s, p=p, n=n, maxsize=maxsize)
+    cnt = lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
+    return keep, cnt
+
+
+def _sample_compact_local(keep_l, lcp_l, lc_l, *, s: int, p: int, n: int):
+    """Compact the sampled (text-offset, LCP, Lc) rows to the front via one
+    distributed 1-key sort (unsampled keys = INF sink to the tail)."""
+    from psac_tpu.parallel.collectives import global_index_base
+    from psac_tpu.parallel.sort import dist_sort_local
+
+    N = s * p
+    off = N - n
+    g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(jnp.int32)
+    lcp_adj = jnp.where(g == off, 0, lcp_l).astype(jnp.int32)
+    key = jnp.where(keep_l, g - off, INT32_INF)
+    return dist_sort_local((key, lcp_adj, lc_l.astype(jnp.int32)),
+                           num_keys=1, p=p)
+
+
 def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
                    mesh, tli_bits: int, tli: str = "tllt",
                    maxsize: int | None = None) -> DESA:
@@ -332,25 +353,34 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
         begins_np, cap = _partition_from_prefix(table_np, n, p)
     elif tli == "tldt":
         # sampled-LCP top-level trie (reference tldt, include/tldt.hpp:412-473):
-        # maxsize = n/p/128 (tldt.hpp:426), sampled rows replicated
+        # maxsize = n/p/128 (tldt.hpp:426), sampled rows replicated.  The
+        # sampling mask AND the row compaction stay on device (one count
+        # readback + one distributed 1-key sort); only the ~n/maxsize
+        # sampled rows travel to host — matching the reference, which
+        # allgathers only sampled rows (tldt.hpp:278-448)
         ms = maxsize or max(2, n // p // 128)
-        mask_fn = jax.jit(jax.shard_map(
-            functools.partial(_sample_mask_local, s=s, p=p, n=n, maxsize=ms),
-            mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS)))
-        keep = np.asarray(jax.device_get(mask_fn(lcp_block)))
-        off = N - n
-        offs = (np.nonzero(keep)[0] - off).astype(np.int64)
-        m = len(offs)
+        mask_cnt_fn = jax.jit(jax.shard_map(
+            functools.partial(_sample_mask_count_local, s=s, p=p, n=n,
+                              maxsize=ms),
+            mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS), P())))
+        keep_dev, cnt = mask_cnt_fn(lcp_block)
+        m = int(jax.device_get(cnt))
         if m < 2:
             raise ValueError("tldt sampling produced < 2 rows; lower maxsize")
-        lcp_h = np.asarray(jax.device_get(lcp_block), np.int64)[off:]
-        lc_h = np.asarray(jax.device_get(lc_block), np.int64)[off:]
-        lcp_h[0] = 0
         M = max(8, _pow2ceil(m))
+        rep_sh = NamedSharding(mesh, P())
+        compact_fn = jax.jit(jax.shard_map(
+            functools.partial(_sample_compact_local, s=s, p=p, n=n),
+            mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=(P(AXIS),) * 3))
+        keys_d, lcp_d, lc_d = compact_fn(keep_dev, lcp_block, lc_block)
+        # pull only the M sampled rows (a jitted slice+reshard: slicing a
+        # sharded array eagerly cannot resolve the output sharding)
+        pull = jax.jit(lambda a: jax.sharding.reshard(a[:M], rep_sh))
+        offs = np.asarray(jax.device_get(pull(keys_d)), np.int64)[:m]
         samp_lcp = np.full(M, np.iinfo(np.int32).max, np.int32)
-        samp_lcp[:m] = lcp_h[offs]
+        samp_lcp[:m] = np.asarray(jax.device_get(pull(lcp_d)), np.int64)[:m]
         samp_lc = np.zeros(M, np.int32)
-        samp_lc[:m] = lc_h[offs]
+        samp_lc[:m] = np.asarray(jax.device_get(pull(lc_d)), np.int64)[:m]
         off_ext = np.full(M + 1, n, np.int32)
         off_ext[:m] = offs
         rep = NamedSharding(mesh, P())

@@ -109,7 +109,8 @@ class _GsaBuilder(_Builder):
         self._init = jax.jit(shmap(
             self._ginit_local,
             in_specs=(x, x),
-            out_specs=(x, x) + ((x,) if with_lcp else ()) + (r, r)))
+            out_specs=(x, x) + ((x,) if with_lcp else ()) + (x, x, x)
+                      + (r, r)))
 
     # ---------------- init: masked k-mer ranking ----------------
 
@@ -139,7 +140,9 @@ class _GsaBuilder(_Builder):
         prev_lo = jnp.concatenate([pl, lo_s[:-1]])
         prev_rem = jnp.concatenate([pr, rem_s[:-1]])
         newb = (hi_s != prev_hi) | (lo_s != prev_lo)
-        isa_new, _, _, counts = self._rebucket_and_isa(newb, gidx, sa)
+        isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
+        # row-aligned end-of-string bound for direct tail entry
+        eos_row = sa + rem_s
         outs = (isa_new, sa)
         if self.with_lcp:
             lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
@@ -147,7 +150,7 @@ class _GsaBuilder(_Builder):
             lcp0 = jnp.where(newb, lcpv, jnp.int32(N))
             lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
             outs = outs + (lcp0,)
-        return outs + counts
+        return outs + (b_new, active, eos_row) + counts
 
     # ---------------- one doubling iteration ----------------
 
@@ -198,6 +201,120 @@ class _GsaBuilder(_Builder):
         nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
         qkey = jnp.where(querycase, gidx, INT32_INF)
         return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active, eos_s) + counts
+
+
+    # ------------- fully fused GSA construction (single shard) -------------
+
+    def gfused_full(self, m_cap: int, m_cap2: int):
+        key = ("gfused_full", m_cap, m_cap2)
+        if key not in self._step_cache:
+            assert self.p == 1
+            x, r = P(AXIS), P()
+            nout = 4 if self.with_lcp else 3  # isa, sa, [lcp], brow
+            fn = jax.shard_map(
+                functools.partial(self._gfused_full_local, m_cap=m_cap,
+                                  m_cap2=m_cap2),
+                mesh=self.mesh, in_specs=(x, x),
+                out_specs=(x,) * nout + (r,))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _gfused_full_local(self, codes_l, eos_l, *, m_cap: int, m_cap2: int):
+        """One dispatch: masked k-mer init -> dense eos-masked doubling
+        (lax.while_loop, traced d) -> eos-aware two-stage sparse tail
+        (capacity m_cap, recompacted to m_cap2 once converged down).
+        Single-shard only (the dense shift is a local dynamic slice)."""
+        from jax import lax as _lax
+
+        N = self.N
+        idt = self.idt
+        outs = self._ginit_local(codes_l, eos_l)
+        if self.with_lcp:
+            isa, sa, lcp, brow, active, eos_row, ub, ue = outs
+        else:
+            isa, sa, brow, active, eos_row, ub, ue = outs
+            lcp = jnp.zeros((self.s,), idt)
+        d0 = jnp.asarray(self.k1 + self.k2, idt)
+        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
+        cap_t = jnp.asarray(m_cap, idt)
+        cap2_t = jnp.asarray(m_cap2, idt)
+
+        def dcond(st):
+            _, _, _, _, _, _, ub, ue, d, it = st
+            return (ub > 0) & (ue > cap_t) & (it < max_iters)
+
+        def dbody(st):
+            isa, sa, lcp, brow, active, eos_row, ub, ue, d, it = st
+            if self.with_lcp:
+                isa, sa, lcp, qkey, lq, rq, _nq, brow, active, eos_row, \
+                    ub, ue = self._gstep_local(isa, eos_l, lcp, d, q=0)
+                dz = jnp.broadcast_to(d.astype(self.idt), qkey.shape)
+                lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
+                                                m_pad=max(8, self.s // 16))
+            else:
+                isa, sa, brow, active, eos_row, ub, ue = \
+                    self._gstep_local(isa, eos_l, d, q=0)
+            return (isa, sa, lcp, brow, active, eos_row, ub, ue, d * 2,
+                    it + 1)
+
+        st = (isa, sa, lcp, brow, active, eos_row, ub, ue, d0, jnp.int32(0))
+        isa, sa, lcp, brow, active, eos_row, ub, ue, d, _ = _lax.while_loop(
+            dcond, dbody, st)
+
+        fits = (ue > 0) & (ue <= cap_t)
+
+        def tail_loop(ts, cap, stop):
+            def cond(t_):
+                return (t_[-1] > stop) & (t_[-2] < max_iters)
+
+            def body(t_):
+                cs, cb, ce, isa, sa, lcp, dd, it, _ = t_
+                if self.with_lcp:
+                    cs, cb, ce, isa, sa, lcp, tue = self._tail_step_local(
+                        cs, cb, ce, isa, sa, lcp, dd, m_cap=cap)
+                else:
+                    cs, cb, ce, isa, sa, tue = self._tail_step_local(
+                        cs, cb, ce, isa, sa, dd, m_cap=cap)
+                dd = jnp.minimum(dd * 2, jnp.asarray(N, idt))
+                return (cs, cb, ce, isa, sa, lcp, dd, it + 1, tue)
+
+            return _lax.while_loop(cond, body, ts)
+
+        def run_tail(args):
+            isa, sa, lcp, d = args
+
+            def big(args2):
+                isa, sa, lcp, d = args2
+                cs, cb, ce, _t = self._tail_enter_local(
+                    sa, brow, active, eos_row, m_cap=m_cap)
+                ts = (cs, cb, ce, isa, sa, lcp, d, jnp.int32(0), ue)
+                cs, cb, ce, isa, sa, lcp, d, _, ue2 = tail_loop(
+                    ts, m_cap, cap2_t)
+                cs2, cb2, ce2 = self._tail_recompact_local(
+                    (cs, cb, ce), m_from=m_cap, m_to=m_cap2)
+                return cs2, cb2, ce2, isa, sa, lcp, d, ue2
+
+            def small(args2):
+                isa, sa, lcp, d = args2
+                cs2, cb2, ce2, _t = self._tail_enter_local(
+                    sa, brow, active, eos_row, m_cap=m_cap2)
+                return cs2, cb2, ce2, isa, sa, lcp, d, ue
+
+            cs2, cb2, ce2, isa, sa, lcp, d, ue2 = _lax.cond(
+                ue > cap2_t, big, small, (isa, sa, lcp, d))
+            ts = (cs2, cb2, ce2, isa, sa, lcp, d, jnp.int32(0), ue2)
+            ts = tail_loop(ts, m_cap2, jnp.asarray(0, idt))
+            return ts[3], ts[4], ts[5], ts[-1]
+
+        def no_tail(args):
+            isa, sa, lcp, _ = args
+            return isa, sa, lcp, ue
+
+        isa, sa, lcp, ue_out = _lax.cond(fits, run_tail, no_tail,
+                                         (isa, sa, lcp, d))
+        stats = jnp.stack([ub, ue_out, fits.astype(idt)])
+        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
+        return base + (brow, stats)
 
 
 _GSA_BUILDER_CACHE: dict = {}
@@ -305,21 +422,40 @@ def build_gsa_device(strings, mesh=None,
             mesh, N, k1, k2, alpha.bits_per_char, config.construct_lcp)
     b = _GSA_BUILDER_CACHE[key]
 
+    if config.fused and b.p == 1:
+        # one dispatch for the whole construction (init + dense while_loop
+        # + eos-aware two-stage tail); a single (3,) readback
+        m_cap2 = max(8, min(N, _pow2ceil(max(256, N // 1024))))
+        m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
+        fouts = b.gfused_full(m_cap_f, m_cap2)(xs, eos)
+        if config.construct_lcp:
+            isa, sa, lcp, brow, stats = fouts
+        else:
+            isa, sa, brow, stats = fouts
+            lcp = None
+        ub_f, ue_f, tail_ran = (int(v) for v in
+                                np.asarray(jax.device_get(stats)))
+        if (tail_ran and ue_f == 0) or ue_f == 0:
+            if config.construct_lcp:
+                lcp = _gsa_tiefix(lcp, sa, eos, b, mesh, p, N, config)
+            return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
+                             lens=lens, n=n, N=N, mesh=mesh)
+        raise AssertionError("fused GSA construction failed to converge")
+
     outs = b._init(xs, eos)
     if config.construct_lcp:
-        isa, sa, lcp, ub, ue = outs
+        isa, sa, lcp, brow, active, eos_row, ub, ue = outs
     else:
-        isa, sa, ub, ue = outs
+        isa, sa, brow, active, eos_row, ub, ue = outs
         lcp = None
     ue = int(ue)
 
     d = k1 + k2
     tail_limit = int(N * config.tail_threshold_frac)
-    brow = active = eos_row = None
     while ue > 0:
         if d >= 4 * N:
             raise AssertionError("GSA doubling failed to converge")
-        if brow is not None and 0 < ue <= tail_limit:
+        if 0 < ue <= tail_limit:
             # ---- eos-aware sparse tail (reference construct_msgs_gsa) ----
             m_cap = min(N, max(8 * b.p, _pow2ceil(ue)))
             # the active count equals ue from the last step: no readback
@@ -353,19 +489,25 @@ def build_gsa_device(strings, mesh=None,
         d *= 2
 
     if config.construct_lcp:
-        for capscale in (6, None):
-            fix = jax.jit(jax.shard_map(
-                functools.partial(_lcp_tiefix_local, s=b.s, p=p, N=N,
-                                  capscale=capscale),
-                mesh=mesh, in_specs=(P(AXIS),) * 3,
-                out_specs=(P(AXIS), P())))
-            lcp_fixed, ovf = fix(lcp, sa, eos)
-            if capscale is None or p == 1 or int(ovf) == 0:
-                break
-        lcp = lcp_fixed
+        lcp = _gsa_tiefix(lcp, sa, eos, b, mesh, p, N, config)
 
     return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
                      lens=lens, n=n, N=N, mesh=mesh)
+
+
+def _gsa_tiefix(lcp, sa, eos, b, mesh, p: int, N: int, config):
+    """Final sentinel-LCP fix (identical-whole-suffix ties), with routing
+    capacity escalation on overflow."""
+    for capscale in (6, None):
+        fix = jax.jit(jax.shard_map(
+            functools.partial(_lcp_tiefix_local, s=b.s, p=p, N=N,
+                              capscale=capscale),
+            mesh=mesh, in_specs=(P(AXIS),) * 3,
+            out_specs=(P(AXIS), P())))
+        lcp_fixed, ovf = fix(lcp, sa, eos)
+        if capscale is None or p == 1 or int(ovf) == 0:
+            break
+    return lcp_fixed
 
 
 def build_gsa(strings, mesh=None,

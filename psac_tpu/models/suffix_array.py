@@ -37,7 +37,7 @@ from psac_tpu import config as cfg_mod
 from psac_tpu.ops.alphabet import Alphabet
 from psac_tpu.ops.bitops import lcp_bitwise_pair
 from psac_tpu.ops.kmer import optimal_k, pack_kmers_local
-from psac_tpu.ops.rmq import INT32_INF, build_local_rmq
+from psac_tpu.ops.rmq import build_local_rmq, query_local_rmq
 from psac_tpu.parallel.collectives import (
     global_cummax,
     global_index_base,
@@ -87,10 +87,12 @@ class DeviceSuffixArray:
         return self
 
     def materialize(self) -> SuffixArray:
-        sa_np = np.asarray(jax.device_get(self.sa), dtype=np.int64)[self.N - self.n:]
+        # np.array(copy=True): device_get of an int64 array returns a
+        # read-only view, and the lcp_np[0] fixup below writes
+        sa_np = np.array(jax.device_get(self.sa), dtype=np.int64)[self.N - self.n:]
         lcp_np = None
         if self.lcp is not None:
-            lcp_np = np.asarray(jax.device_get(self.lcp), dtype=np.int64)[self.N - self.n:]
+            lcp_np = np.array(jax.device_get(self.lcp), dtype=np.int64)[self.N - self.n:]
             if self.n > 0:
                 lcp_np[0] = 0
         return SuffixArray(sa=sa_np, lcp=lcp_np, alphabet=self.alphabet, n=self.n)
@@ -103,13 +105,20 @@ def _pow2ceil(x: int) -> int:
 class _Builder:
     """Holds the mesh geometry and the jitted construction steps."""
 
-    def __init__(self, mesh, N: int, k1: int, k2: int, bits: int, with_lcp: bool):
+    def __init__(self, mesh, N: int, k1: int, k2: int, bits: int, with_lcp: bool,
+                 idt=jnp.int32):
         self.mesh = mesh
         self.p = num_shards(mesh)
         self.N = N
         self.s = N // self.p
         self.k1, self.k2, self.bits = k1, k2, bits
         self.with_lcp = with_lcp
+        # index dtype (the reference's index_t template parameter,
+        # include/suffix_array.hpp:170): int64 for texts >= 2^30 chars; all
+        # global indices / bucket ids / distances / LCP values carry it,
+        # while kmer words, shard ids and in-shard offsets stay int32
+        self.idt = idt
+        self.INF = jnp.iinfo(idt).max
         self.sharded = NamedSharding(mesh, P(AXIS))
         self._step_cache: dict[int, object] = {}
         self._resolve_cache: dict[int, object] = {}
@@ -129,15 +138,19 @@ class _Builder:
     def _init_local(self, codes_l, n_real):
         s, p, N = self.s, self.p, self.N
         k1, k2, bits = self.k1, self.k2, self.bits
+        idt = self.idt
         halo = halo_from_right(codes_l, k1 + k2 - 1, p)
         hi, lo = pack_kmers_local(jnp.concatenate([codes_l, halo]), s, k1, k2, bits)
-        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
         # Padding suffixes (all-0 windows <=> hi == 0; real suffixes always
         # have hi >= 1) are content-indistinguishable at any doubling
         # distance, so give them their final ranks now: all-sentinel suffixes
         # order by descending position (shorter-is-prefix rule), before every
         # real suffix. Encode as a unique low key.
-        lo = jnp.where(hi == 0, jnp.int32(N) - gidx, lo)
+        # pad_rank stays int32: hi==0 rows sit within k + padding of the
+        # global end, so N - gidx < 2^31 on those lanes (others discarded)
+        pad_rank = (jnp.asarray(N, idt) - gidx).astype(jnp.int32)
+        lo = jnp.where(hi == 0, pad_rank, lo)
         hi_s, lo_s, sa = dist_sort_local((hi, lo, gidx), num_keys=3, p=p)
         ph = halo_from_left(hi_s, 1, p, fill=-1)
         pl = halo_from_left(lo_s, 1, p, fill=-1)
@@ -148,11 +161,11 @@ class _Builder:
         outs = (isa_new, sa)
         if self.with_lcp:
             lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
-            lcp0 = jnp.where(newb, lcpv.astype(jnp.int32), jnp.int32(N))
+            lcp0 = jnp.where(newb, lcpv.astype(idt), jnp.asarray(N, idt))
             # ranks 0..N-n-1 are the padding suffixes (zeros of length r+...):
             # adjacent all-sentinel suffixes overlap in exactly r chars.
-            lcp0 = jnp.where(gidx < jnp.int32(N) - n_real, gidx, lcp0)
-            lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
+            lcp0 = jnp.where(gidx < jnp.asarray(N, idt) - n_real, gidx, lcp0)
+            lcp0 = jnp.where(gidx == 0, jnp.asarray(0, idt), lcp0)
             outs = outs + (lcp0,)
         return outs + (b_new, active) + counts
 
@@ -169,15 +182,16 @@ class _Builder:
         sparse-tail entry needs no re-derivation.
         """
         p, N = self.p, self.N
-        cand = jnp.where(newb, gpos + 1, 0).astype(jnp.int32)
+        idt = self.idt
+        cand = jnp.where(newb, gpos + 1, 0).astype(idt)
         b_new = global_cummax(cand, p)
         nxt_halo = halo_from_right(newb, 1, p, fill=True)
         nxt = jnp.concatenate([newb[1:], nxt_halo])
         singleton = newb & nxt
-        tot_buckets = lax.psum(jnp.sum(newb.astype(jnp.int32)), AXIS)
-        tot_single = lax.psum(jnp.sum(singleton.astype(jnp.int32)), AXIS)
+        tot_buckets = lax.psum(jnp.sum(newb.astype(idt)), AXIS)
+        tot_single = lax.psum(jnp.sum(singleton.astype(idt)), AXIS)
         unfinished_buckets = tot_buckets - tot_single
-        unfinished_els = jnp.int32(N) - tot_single
+        unfinished_els = jnp.asarray(N, idt) - tot_single
         (isa_new,) = scatter_by_index_local(sa, (b_new,), p)
         return isa_new, b_new, ~singleton, (unfinished_buckets, unfinished_els)
 
@@ -219,10 +233,10 @@ class _Builder:
 
     def _step_arr_local(self, isa_l, d, *, qs: tuple):
         s, p, N = self.s, self.p, self.N
-        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(self.idt)
         keys = [isa_l]
         for j, qj in enumerate(qs, start=1):
-            keys.append(global_shift_left(isa_l, jnp.int32(j) * d, qj, p))
+            keys.append(global_shift_left(isa_l, jnp.asarray(j, self.idt) * d, qj, p))
         sorted_ops = dist_sort_local(tuple(keys) + (gidx,), num_keys=len(keys), p=p)
         sa = sorted_ops[-1]
         newb = jnp.zeros((s,), jnp.bool_)
@@ -239,7 +253,7 @@ class _Builder:
         else:
             (d,) = rest
         b2 = global_shift_left(isa_l, d, q, p)
-        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(self.idt)
         b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
         pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
@@ -252,14 +266,14 @@ class _Builder:
         #     suffix_array.hpp:1444-1508): new splits inside an old bucket.
         split = (b_s == pb) & (b2_s != pb2)
         zerocase = split & ((pb2 == 0) | (b2_s == 0))
-        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(jnp.int32), lcp_l)
+        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(self.idt), lcp_l)
         querycase = split & (pb2 != 0) & (b2_s != 0)
         # range between the two old B2 buckets: 1-based ids lb < rb ->
         # 0-based inclusive LCP range [lb, rb-1].
         lq = jnp.minimum(pb2, b2_s)
         rq = jnp.maximum(pb2, b2_s) - 1
-        nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
-        qkey = jnp.where(querycase, gidx, INT32_INF)
+        nq = lax.psum(jnp.sum(querycase.astype(self.idt)), AXIS)
+        qkey = jnp.where(querycase, gidx, self.INF)
         return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active) + counts
 
     # ---------------- LCP resolve (bulk RMQ + scatter) ----------------
@@ -268,31 +282,148 @@ class _Builder:
         if m_pad not in self._resolve_cache:
             x = P(AXIS)
 
-            def impl(lcp, qkey, lq, rq, d):
-                compact = jax.shard_map(
-                    lambda a, b, c: dist_sort_local((a, b, c), num_keys=1, p=self.p),
-                    mesh=self.mesh, in_specs=(x, x, x), out_specs=(x, x, x))
-                ks, ls, rs = compact(qkey, lq, rq)
-                ks = jax.sharding.reshard(ks[:m_pad], self.sharded)
-                ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
-                rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
-                solve = jax.shard_map(
-                    functools.partial(self._resolve_local),
-                    mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
-                return solve(lcp, ks, ls, rs, d)
+            if True:
+                # compact by one distributed 1-key sort (INF keys sink to
+                # the tail); searchsorted compaction costs ~10x more at
+                # multi-M needle counts on TPU
+                def impl(lcp, qkey, lq, rq, d):
+                    compact = jax.shard_map(
+                        lambda a, b, c: dist_sort_local((a, b, c),
+                                                        num_keys=1, p=self.p),
+                        mesh=self.mesh, in_specs=(x, x, x),
+                        out_specs=(x, x, x))
+                    ks, ls, rs = compact(qkey, lq, rq)
+                    ks = jax.sharding.reshard(ks[:m_pad], self.sharded)
+                    ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
+                    rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
+                    solve = jax.shard_map(
+                        functools.partial(self._resolve_local),
+                        mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
+                    return solve(lcp, ks, ls, rs, d)
 
             self._resolve_cache[m_pad] = jax.jit(impl)
         return self._resolve_cache[m_pad]
 
+    def _resolve_fused_local(self, lcp_l, qkey, lq, rq, dz, *, m_pad: int):
+        """In-program resolve (p==1): one local 1-key compaction sort (INF
+        keys sink), row-window RMQ over m_pad-sized chunks, scatter-back.
+        ``dz`` is the per-query additive distance (j*d for the j-th
+        L-pling column; the plain doubling step passes a broadcast d).
+
+        All chunks are answered against the PRE-resolve LCP state (the RMQ
+        is built once), matching the reference's bulk answer timing
+        (resolve_next_lcp answers every query of an iteration against the
+        post-zerocase array).  A duplicate chunk caused by the final
+        dynamic-slice clamp rewrites identical values (idempotent).
+        """
+        s = self.s
+        idt = self.idt
+        nq = jnp.sum((qkey != self.INF).astype(jnp.int32))
+        ks, ls, rs, ds = lax.sort((qkey, lq, rq, dz), num_keys=1)
+        rmq = build_local_rmq(lcp_l, with_small=False)
+
+        def cond(st):
+            return st[0] * m_pad < nq
+
+        def body(st):
+            c, lcp_cur = st
+            off = c * m_pad
+            kq_c = lax.dynamic_slice_in_dim(ks, off, m_pad)
+            l_c = lax.dynamic_slice_in_dim(ls, off, m_pad)
+            r_c = lax.dynamic_slice_in_dim(rs, off, m_pad)
+            d_c = lax.dynamic_slice_in_dim(ds, off, m_pad)
+            valid = kq_c != self.INF
+            lo = jnp.clip(jnp.where(valid, l_c, 0), 0, s - 1)
+            hi = jnp.clip(jnp.where(valid, r_c, 0), 0, s - 1)
+            mins = query_local_rmq(rmq, lo, hi)
+            newv = d_c.astype(idt) + mins
+            row = jnp.where(valid, kq_c, jnp.asarray(s, idt))
+            padded = jnp.concatenate(
+                [lcp_cur, jnp.zeros((1,), lcp_cur.dtype)])
+            lcp_cur = padded.at[row].set(jnp.where(valid, newv, 0))[:s]
+            return (c + 1, lcp_cur)
+
+        _, lcp_new = lax.while_loop(cond, body, (jnp.int32(0), lcp_l))
+        return lcp_new
+
+    # ---------------- prefix-quadrupling dense step (with LCP) ----------
+
+    def _step4_local(self, isa_l, *rest, qs=(0, 0, 0)):
+        """One prefix-quadrupling iteration WITH interleaved LCP: sort by
+        (B, B@d, B@2d, B@3d, i); a split at first-differing column j gets
+        LCP = j*d + min-range between the two column-j buckets (the same
+        resolve_next_lcp recurrence, with additive j*d — the reference's
+        construct_arr<L> supports no LCP; this extends it).  Halves the
+        dense iteration count for repeat-heavy corpora at ~30% extra sort
+        width."""
+        s, p, N = self.s, self.p, self.N
+        idt = self.idt
+        if self.with_lcp:
+            lcp_l, d = rest
+        else:
+            (d,) = rest
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
+        b1 = global_shift_left(isa_l, d, qs[0], p)
+        b2 = global_shift_left(isa_l, 2 * d, qs[1], p)
+        b3 = global_shift_left(isa_l, 3 * d, qs[2], p)
+        b0s, b1s, b2s, b3s, sa = dist_sort_local(
+            (isa_l, b1, b2, b3, gidx), num_keys=5, p=p)
+
+        def prev_of(a, fill=-1):
+            return jnp.concatenate(
+                [halo_from_left(a, 1, p, fill=fill), a[:-1]])
+
+        pb0, pb1, pb2, pb3 = (prev_of(a) for a in (b0s, b1s, b2s, b3s))
+        d0 = b0s != pb0
+        d1 = b1s != pb1
+        d2 = b2s != pb2
+        d3 = b3s != pb3
+        newb = d0 | d1 | d2 | d3
+        isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
+        if not self.with_lcp:
+            return (isa_new, sa) + (b_new, active) + counts
+
+        split = ~d0 & (d1 | d2 | d3)
+        jcol = jnp.where(d1, 1, jnp.where(d2, 2, 3)).astype(idt)
+        pv = jnp.where(d1, pb1, jnp.where(d2, pb2, pb3))
+        cv = jnp.where(d1, b1s, jnp.where(d2, b2s, b3s))
+        zero = (pv == 0) | (cv == 0)
+        dz = jcol * d.astype(idt)
+        lcp_l = jnp.where(split & zero & (lcp_l == N), dz, lcp_l)
+        querycase = split & ~zero
+        lq = jnp.minimum(pv, cv)
+        rq = jnp.maximum(pv, cv) - 1
+        nq = lax.psum(jnp.sum(querycase.astype(idt)), AXIS)
+        qkey = jnp.where(querycase, gidx, self.INF)
+        return (isa_new, sa, lcp_l, qkey, lq, rq, dz, nq) + \
+            (b_new, active) + counts
+
+    def _tail_recompact_local(self, bufs: tuple, *, m_from: int, m_to: int):
+        """Shrink the compact tail buffers once the active count fits a
+        smaller capacity (static tail shapes scale every tail sort/route
+        with the capacity, so converged-down phases should not keep paying
+        the entry capacity).  Single-shard only."""
+        cb = bufs[1]
+        valid = cb != self.INF
+        c_l = jnp.cumsum(valid.astype(jnp.int32))
+        tq = jnp.arange(1, m_to + 1, dtype=jnp.int32)
+        idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
+        ok = tq <= c_l[-1]
+        safe = jnp.clip(idx, 0, m_from - 1)
+        fills = (0, self.INF, 0)
+        return tuple(jnp.where(ok, b[safe], jnp.asarray(f, b.dtype))
+                     for b, f in zip(bufs, fills))
+
     def _resolve_local(self, lcp_l, kq, lq, rq, d):
         s, p = self.s, self.p
-        # the in-block table costs O(s log block) to build: only worth it
-        # when this call answers many queries
-        rmq = build_local_rmq(lcp_l, with_small=kq.shape[0] >= 65536)
+        # row-window few-query mode: random gathers into the (log b, s)
+        # in-block tables run ~1us/row at multi-M-element footprints, while
+        # row-aligned 128-wide window reads stay bandwidth-bound
+        rmq = build_local_rmq(lcp_l, with_small=False)
         smins = shard_minima(lcp_l, p)
-        valid = kq != INT32_INF
+        valid = kq != self.INF
         mins = bulk_rmq_local(rmq, smins, lq, rq, valid, s, p)
-        newval = (d.astype(jnp.int32) + mins)
+        newval = (d.astype(self.idt) + mins)
         (lcp_new,) = route_scatter(kq, (newval,), (lcp_l,), valid, s, p)
         return lcp_new
 
@@ -330,43 +461,63 @@ class _Builder:
         record's end-of-string bound.
 
         Gather formulation: the t-th active element's index is a
-        ``searchsorted`` over the inclusive cumsum of the mask — a scatter
-        with n update rows runs ~1us/row on TPU (serialized), while n-input
-        searchsorted + m_cap-row gathers are bandwidth-bound.
+        ``searchsorted`` over the inclusive cumsum of the mask (cost scales
+        with m_cap; ~0.5us per slot at 16M inputs), or — when m_cap is a
+        large fraction of s — one stable local sort by the inactive flag
+        (actives first, row order preserved; flat ~7ns/elem), whichever is
+        cheaper.  A scatter formulation runs ~1us per update row
+        (serialized) and loses to both.
         """
         s, p = self.s, self.p
+        idt = self.idt
         sl = m_cap // p
-        cnt = jnp.sum(active_l.astype(jnp.int32))
+        cnt = jnp.sum(active_l.astype(idt))
         counts = lax.all_gather(cnt, AXIS)  # (p,)
         total = lax.psum(cnt, AXIS)  # psum is vma-replicated (all_gather isn't)
-        # local extraction: local slot t (0-based) holds the (t+1)-th active
-        # element; searchsorted over the inclusive count gives its index
-        c_l = jnp.cumsum(active_l.astype(jnp.int32))
-        tq = jnp.arange(1, m_cap + 1, dtype=jnp.int32)
-        idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
-        ok = tq <= cnt
-        safe = jnp.clip(idx, 0, s - 1)
-        # no row field: the compact set stays in row order, and ties inside
-        # a (bucket, B2) group sort by position cs — the same deterministic
-        # order the dense sort produces
         vals = (sa_l, brow_l) + (() if eos_row is None else (eos_row,))
-        fills = (0, INT32_INF) + (() if eos_row is None else (0,))
-        bufs = [jnp.where(ok, v[safe], jnp.int32(f)) for v, f in zip(vals, fills)]
+        fills = (0, self.INF) + (() if eos_row is None else (0,))
+        if m_cap >= s // 16:
+            # sort-based compaction: actives first, stable => row order kept
+            key = (~active_l).astype(jnp.int32)
+            sorted_ops = lax.sort((key,) + vals, num_keys=1, is_stable=True)
+            ok = jnp.arange(m_cap, dtype=jnp.int32) < cnt
+            take = min(m_cap, s)
+            bufs = []
+            for o, f in zip(sorted_ops[1:], fills):
+                b = o[:take]
+                if m_cap > s:
+                    b = jnp.concatenate(
+                        [b, jnp.full((m_cap - s,), f, o.dtype)])
+                bufs.append(jnp.where(ok, b, jnp.asarray(f, o.dtype)))
+        else:
+            # local extraction: local slot t (0-based) holds the (t+1)-th
+            # active element; searchsorted over the inclusive count gives
+            # its index
+            c_l = jnp.cumsum(active_l.astype(jnp.int32))
+            tq = jnp.arange(1, m_cap + 1, dtype=jnp.int32)
+            idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
+            ok = tq <= cnt
+            safe = jnp.clip(idx, 0, s - 1)
+            # no row field: the compact set stays in row order, and ties
+            # inside a (bucket, B2) group sort by position cs — the same
+            # deterministic order the dense sort produces
+            bufs = [jnp.where(ok, v[safe], jnp.asarray(f, v.dtype))
+                    for v, f in zip(vals, fills)]
         if p == 1:
             return tuple(bufs) + (total,)
         # redistribute: shard r's local slot t is global compact position
         # carry_r + t; compact slots are block-distributed sl per shard
         i = lax.axis_index(AXIS)
         carries = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+            [jnp.zeros((1,), idt), jnp.cumsum(counts).astype(idt)])
         gath = [lax.all_gather(bf, AXIS) for bf in bufs]  # (p, m_cap) each
         g = i.astype(jnp.int32) * sl + jnp.arange(sl, dtype=jnp.int32)
         owner = jnp.clip(
             jnp.searchsorted(carries, g, side="right").astype(jnp.int32) - 1,
             0, p - 1)
-        slot = jnp.clip(g - carries[owner], 0, m_cap - 1)
+        slot = jnp.clip(g - carries[owner], 0, m_cap - 1).astype(jnp.int32)
         valid = g < jnp.minimum(total, m_cap)
-        outs = [jnp.where(valid, ga[owner, slot], jnp.int32(f))
+        outs = [jnp.where(valid, ga[owner, slot], jnp.asarray(f, ga.dtype))
                 for ga, f in zip(gath, fills)]
         return tuple(outs) + (total,)
 
@@ -397,10 +548,10 @@ class _Builder:
             isa, sa, lcp, brow, active, ub, ue = outs
         else:
             isa, sa, brow, active, ub, ue = outs
-            lcp = jnp.zeros((self.s,), jnp.int32)  # unused placeholder
-        d0 = jnp.int32(self.k1 + self.k2)
+            lcp = jnp.zeros((self.s,), self.idt)  # unused placeholder
+        d0 = jnp.asarray(self.k1 + self.k2, self.idt)
         max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
-        fits = (ue > 0) & (ue <= jnp.int32(m_cap))
+        fits = (ue > 0) & (ue <= jnp.asarray(m_cap, self.idt))
 
         def run_tail(args):
             isa, sa, lcp = args
@@ -419,7 +570,7 @@ class _Builder:
                     cs, cb, isa, sa, lcp, d, it, _ = st
                     cs, cb, isa, sa, ue = self._tail_step_local(
                         cs, cb, isa, sa, d, m_cap=m_cap)
-                d = jnp.minimum(d * 2, jnp.int32(N))
+                d = jnp.minimum(d * 2, jnp.asarray(N, self.idt))
                 return (cs, cb, isa, sa, lcp, d, it + 1, ue)
 
             st = (cs, cb, isa, sa, lcp, d0, jnp.int32(0), ue)
@@ -432,7 +583,138 @@ class _Builder:
 
         isa, sa, lcp, ue_out = lax.cond(fits, run_tail, no_tail,
                                         (isa, sa, lcp))
-        stats = jnp.stack([ub, ue_out, fits.astype(jnp.int32)])
+        stats = jnp.stack([ub, ue_out, fits.astype(self.idt)])
+        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
+        return base + (brow, active, stats)
+
+    # ---------------- fully fused construction (single shard) ----------
+    #
+    # At p == 1 the doubling shift is a local dynamic slice, so the whole
+    # dense phase runs as a lax.while_loop with the shift distance d TRACED
+    # (multi-shard meshes need a static shard-distance per ppermute pattern,
+    # so they keep the host-driven dense loop).  One dispatch covers k-mer
+    # init -> dense doubling (row-aligned LCP resolve, no compaction or
+    # scatter) -> sparse tail, with a single (3,) stats readback.
+
+    def fused_full(self, m_cap: int, m_cap2: int, factor: int = 4):
+        key = ("fused_full", m_cap, m_cap2, factor)
+        if key not in self._step_cache:
+            assert self.p == 1, "fused_full is the single-shard path"
+            x, r = P(AXIS), P()
+            nout = 5 if self.with_lcp else 4
+            fn = jax.shard_map(
+                functools.partial(self._fused_full_local, m_cap=m_cap,
+                                  m_cap2=m_cap2, factor=factor),
+                mesh=self.mesh, in_specs=(x, r),
+                out_specs=(x,) * nout + (r,))
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _fused_full_local(self, codes_l, n_real, *, m_cap: int,
+                          m_cap2: int, factor: int = 4):
+        """init -> dense L-pling while_loop -> two-stage sparse tail.
+
+        The tail's static capacity scales every tail sort/route, so it runs
+        in two stages: entry at ``m_cap`` (the dense loop hands over as soon
+        as the active set fits it), then a recompaction to ``m_cap2`` once
+        the active count drops — converging corpora (k-mer init separates
+        almost everything) enter at ``m_cap2`` directly and never pay the
+        big stage.
+        """
+        N = self.N
+        idt = self.idt
+        outs = self._init_local(codes_l, n_real)
+        if self.with_lcp:
+            isa, sa, lcp, brow, active, ub, ue = outs
+        else:
+            isa, sa, brow, active, ub, ue = outs
+            lcp = jnp.zeros((self.s,), idt)
+        d0 = jnp.asarray(self.k1 + self.k2, idt)
+        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
+        cap_t = jnp.asarray(m_cap, idt)
+        cap2_t = jnp.asarray(m_cap2, idt)
+        # small chunks: early iterations (few queries) pay one ~s/16 chunk
+        # instead of a quarter-array one; late iterations loop a few times
+        m_pad = max(8, self.s // 16)
+
+        def dcond(st):
+            _, _, _, _, _, ub, ue, d, it = st
+            return (ub > 0) & (ue > cap_t) & (it < max_iters)
+
+        def dbody(st):
+            isa, sa, lcp, brow, active, ub, ue, d, it = st
+            if self.with_lcp:
+                if factor == 4:
+                    isa, sa, lcp, qkey, lq, rq, dz, _nq, brow, active, \
+                        ub, ue = self._step4_local(isa, lcp, d)
+                else:
+                    isa, sa, lcp, qkey, lq, rq, _nq, brow, active, ub, ue = \
+                        self._step_local(isa, lcp, d, q=0)
+                    dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
+                lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
+                                                m_pad=m_pad)
+            elif factor == 4:
+                isa, sa, brow, active, ub, ue = self._step4_local(isa, d)
+            else:
+                isa, sa, brow, active, ub, ue = self._step_local(isa, d, q=0)
+            return (isa, sa, lcp, brow, active, ub, ue, d * factor, it + 1)
+
+        st = (isa, sa, lcp, brow, active, ub, ue, d0, jnp.int32(0))
+        isa, sa, lcp, brow, active, ub, ue, d, _ = lax.while_loop(
+            dcond, dbody, st)
+
+        fits = (ue > 0) & (ue <= cap_t)
+
+        def tail_loop(ts, cap, stop):
+            def cond(t_):
+                return (t_[-1] > stop) & (t_[-2] < max_iters)
+
+            def body(t_):
+                cs, cb, isa, sa, lcp, dd, it, _ = t_
+                if self.with_lcp:
+                    cs, cb, isa, sa, lcp, tue = self._tail_step_local(
+                        cs, cb, isa, sa, lcp, dd, m_cap=cap)
+                else:
+                    cs, cb, isa, sa, tue = self._tail_step_local(
+                        cs, cb, isa, sa, dd, m_cap=cap)
+                dd = jnp.minimum(dd * 2, jnp.asarray(N, idt))
+                return (cs, cb, isa, sa, lcp, dd, it + 1, tue)
+
+            return lax.while_loop(cond, body, ts)
+
+        def run_tail(args):
+            isa, sa, lcp, d = args
+
+            def big(args2):
+                isa, sa, lcp, d = args2
+                cs, cb, _t = self._tail_enter_local(sa, brow, active,
+                                                    m_cap=m_cap)
+                ts = (cs, cb, isa, sa, lcp, d, jnp.int32(0), ue)
+                cs, cb, isa, sa, lcp, d, _, ue2 = tail_loop(
+                    ts, m_cap, cap2_t)
+                cs2, cb2 = self._tail_recompact_local(
+                    (cs, cb), m_from=m_cap, m_to=m_cap2)
+                return cs2, cb2, isa, sa, lcp, d, ue2
+
+            def small(args2):
+                isa, sa, lcp, d = args2
+                cs2, cb2, _t = self._tail_enter_local(sa, brow, active,
+                                                      m_cap=m_cap2)
+                return cs2, cb2, isa, sa, lcp, d, ue
+
+            cs2, cb2, isa, sa, lcp, d, ue2 = lax.cond(
+                ue > cap2_t, big, small, (isa, sa, lcp, d))
+            ts = (cs2, cb2, isa, sa, lcp, d, jnp.int32(0), ue2)
+            ts = tail_loop(ts, m_cap2, jnp.asarray(0, idt))
+            return ts[2], ts[3], ts[4], ts[-1]
+
+        def no_tail(args):
+            isa, sa, lcp, _ = args
+            return isa, sa, lcp, ue
+
+        isa, sa, lcp, ue_out = lax.cond(fits, run_tail, no_tail,
+                                        (isa, sa, lcp, d))
+        stats = jnp.stack([ub, ue_out, fits.astype(idt)])
         base = (isa, sa) + ((lcp,) if self.with_lcp else ())
         return base + (brow, active, stats)
 
@@ -460,25 +742,28 @@ class _Builder:
             lcp_l, d = rest
         else:
             (d,) = rest
+        idt = self.idt
         sl = m_cap // p
         r = lax.axis_index(AXIS).astype(jnp.int32)
-        valid = cb != INT32_INF
+        valid = cb != self.INF
 
         # sparse B2 = ISA[pos + d] from the dense ISA (0 past the end of
         # the text / of the record's own string in GSA mode)
-        tgt = cs + d.astype(jnp.int32)
-        bound = jnp.int32(N) if ce is None else ce
+        tgt = cs + d.astype(idt)
+        bound = jnp.asarray(N, idt) if ce is None else ce
         inb = valid & (tgt < bound)
-        dest = jnp.where(inb, jnp.clip(tgt, 0, N - 1) // s, r)
+        dest = jnp.where(inb, jnp.clip(tgt, 0, N - 1) // s, r).astype(jnp.int32)
+        base = lax.axis_index(AXIS).astype(
+            jax.dtypes.canonicalize_dtype(jnp.int64)) * s  # int32 w/o x64
 
         def gather(recv, recv_valid):
             (q,) = recv
-            return (isa_l[jnp.clip(q - r * s, 0, s - 1)],)
+            return (isa_l[jnp.clip(q - base, 0, s - 1).astype(jnp.int32)],)
 
         (b2,) = route_apply((jnp.where(inb, tgt, 0),), dest, gather,
-                            (jnp.int32,), p)
+                            (idt,), p)
         b2 = jnp.where(inb, b2, 0)
-        b2 = jnp.where(valid, b2, INT32_INF)
+        b2 = jnp.where(valid, b2, self.INF)
 
         # sort the compacted records by (bucket, B2, position)
         if ce is None:
@@ -487,8 +772,8 @@ class _Builder:
         else:
             cb_s, b2_s, cs_s, ce_s = dist_sort_local(
                 (cb, b2, cs, ce), num_keys=3, p=p)
-        valid_s = cb_s != INT32_INF
-        gi = r * sl + jnp.arange(sl, dtype=jnp.int32)
+        valid_s = cb_s != self.INF
+        gi = (r * sl + jnp.arange(sl, dtype=jnp.int32)).astype(idt)
 
         pcb = jnp.concatenate([halo_from_left(cb_s, 1, p, fill=-1), cb_s[:-1]])
         pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
@@ -507,13 +792,13 @@ class _Builder:
         if ce is not None:
             # GSA: fully-ended suffix groups (B2 == 0) can never split
             settled = settled | (b2_s == 0)
-        ue = lax.psum(jnp.sum((valid_s & ~settled).astype(jnp.int32)), AXIS)
+        ue = lax.psum(jnp.sum((valid_s & ~settled).astype(idt)), AXIS)
 
         # scatter refined rows/ranks into the dense arrays
         (sa_new,) = route_scatter(row, (cs_s,), (sa_l,), valid_s, s, p)
         (isa_new,) = route_scatter(cs_s, (b_new,), (isa_l,), valid_s, s, p)
 
-        cb_out = jnp.where(valid_s & ~settled, b_new, INT32_INF)
+        cb_out = jnp.where(valid_s & ~settled, b_new, self.INF)
         outs_base = (cs_s, cb_out) + (() if ce is None else (ce_s,)) \
             + (isa_new, sa_new)
         if not self.with_lcp:
@@ -523,11 +808,11 @@ class _Builder:
         split = valid_s & ~new_bkt & (b2_s != pb2)
         zerocase = split & ((pb2 == 0) | (b2_s == 0))
         querycase = split & (pb2 != 0) & (b2_s != 0)
-        dz = jnp.broadcast_to(d.astype(jnp.int32), row.shape)
+        dz = jnp.broadcast_to(d.astype(idt), row.shape)
         (lcp_l,) = route_scatter(row, (dz,), (lcp_l,), zerocase, s, p)
         lq = jnp.minimum(pb2, b2_s)
         rq = jnp.maximum(pb2, b2_s) - 1
-        kq = jnp.where(querycase, row, INT32_INF)
+        kq = jnp.where(querycase, row, self.INF)
         lcp_new = self._resolve_local(lcp_l, kq, lq, rq, d)
         return outs_base + (lcp_new, ue)
 
@@ -585,14 +870,37 @@ def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 
-def _get_builder(mesh, N, k1, k2, bits, with_lcp) -> _Builder:
+def _get_builder(mesh, N, k1, k2, bits, with_lcp, idt=jnp.int32) -> _Builder:
     """Reuse builders (and their jitted steps) across construction calls."""
-    key = (mesh_key(mesh), N, k1, k2, bits, with_lcp)
+    key = (mesh_key(mesh), N, k1, k2, bits, with_lcp, jnp.dtype(idt).name)
     if key not in _BUILDER_CACHE:
         if len(_BUILDER_CACHE) > 64:
             _BUILDER_CACHE.clear()
-        _BUILDER_CACHE[key] = _Builder(mesh, N, k1, k2, bits, with_lcp)
+        _BUILDER_CACHE[key] = _Builder(mesh, N, k1, k2, bits, with_lcp, idt=idt)
     return _BUILDER_CACHE[key]
+
+
+def index_dtype_for(N: int, config) -> object:
+    """int32 while every derived quantity (bucket ids <= N+1, doubling
+    distances < 2N, padding ranks) fits; int64 beyond (the reference's
+    uint64 index_t builds, src/psac.cpp:54)."""
+    if getattr(config, "force_int64", False) or N >= (1 << 30):
+        return jnp.int64
+    return jnp.int32
+
+
+def _x64_ctx(idt):
+    """jax_enable_x64 scope for int64 builds (without it jnp silently
+    downcasts int64 to int32); a no-op scope for int32 builds."""
+    import contextlib
+    if jnp.dtype(idt) != jnp.int64:
+        return contextlib.nullcontext()
+    try:
+        from jax._src.config import enable_x64  # scoped (thread-local)
+        return enable_x64(True)
+    except ImportError:  # pragma: no cover - jax version fallback
+        jax.config.update("jax_enable_x64", True)
+        return contextlib.nullcontext()
 
 
 def encode_and_shard(text: bytes | np.ndarray, mesh,
@@ -605,11 +913,8 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
     from psac_tpu.ops.alphabet import IntAlphabet
 
     p = num_shards(mesh)
-    if len(text) >= (1 << 30):
-        # int32 rank/index arrays bound a single construction at 2^30 chars
-        # (per-chip HBM binds well before that on one chip; larger corpora
-        # need a bigger mesh and an int64 index build)
-        raise ValueError(f"text too large for int32 indexes: {len(text)}")
+    if len(text) >= (1 << 40):
+        raise ValueError(f"text too large: {len(text)} (2^40 char ceiling)")
     if isinstance(text, (bytes, bytearray)) or \
             np.asarray(text).dtype == np.uint8:
         # ship raw uint8 and decode on-device: host->device bandwidth is the
@@ -654,7 +959,15 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
     from psac_tpu.utils.timers import SectionTimer
     timer = SectionTimer(label="construct")
 
-    b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp)
+    idt = index_dtype_for(N, config)
+    with _x64_ctx(idt):
+        return _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
+                                       k, k1, k2, bits, timer)
+
+
+def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
+                            k, k1, k2, bits, timer) -> DeviceSuffixArray:
+    b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp, idt=idt)
 
     if config.fused:
         # one-dispatch fast path: init + sparse tail inside a single program,
@@ -662,8 +975,20 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         # small static capacity keeps the fused tail's sorts/scatters cheap
         # (and its RMQ in the cheap no-table regime); bigger leftovers fall
         # back to the host-driven loop below
-        m_cap_f = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
-        outs = b.fused(m_cap_f)(xs, jnp.int32(n))
+        if b.p == 1:
+            # single shard: the WHOLE construction is one dispatch — dense
+            # L-pling runs as a while_loop with a traced shift distance
+            # (a local dynamic slice; no ppermute pattern to specialize)
+            m_cap2 = max(8, min(N, _pow2ceil(max(256, N // 1024))))
+            m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
+            outs = b.fused_full(m_cap_f, m_cap2,
+                                factor=config.dense_factor)(
+                xs, jnp.asarray(n, idt))
+        else:
+            # small static capacity keeps the fused tail's sorts/scatters
+            # cheap; bigger leftovers fall back to the host-driven loop
+            m_cap_f = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
+            outs = b.fused(m_cap_f)(xs, jnp.asarray(n, idt))
         if config.construct_lcp:
             isa, sa, lcp, brow, active, stats = outs
         else:
@@ -681,7 +1006,7 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         elif ue == 0:
             ub = 0
     else:
-        outs = b._init(xs, jnp.int32(n))
+        outs = b._init(xs, jnp.asarray(n, idt))
         if config.construct_lcp:
             isa, sa, lcp, brow, active, ub, ue = outs
         else:
@@ -708,10 +1033,10 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
                 while True:
                     if config.construct_lcp:
                         cs, cb, isa, sa, lcp, ue = b.tail_step(m_cap)(
-                            cs, cb, isa, sa, lcp, jnp.int32(d))
+                            cs, cb, isa, sa, lcp, jnp.asarray(d, idt))
                     else:
                         cs, cb, isa, sa, ue = b.tail_step(m_cap)(
-                            cs, cb, isa, sa, jnp.int32(d))
+                            cs, cb, isa, sa, jnp.asarray(d, idt))
                     ue = int(ue)
                     timer.end_section(f"tail-step d={d}")
                     timer.info(f"d={d}: tail unfinished elements={ue}")
@@ -726,7 +1051,7 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         # each separate device_get is a full host<->device round trip
         if not config.construct_lcp and config.factor > 2:
             qs = tuple(min(j * d // b.s, b.p) for j in range(1, config.factor))
-            isa, sa, brow, active, ub, ue = b.step_arr(qs)(isa, jnp.int32(d))
+            isa, sa, brow, active, ub, ue = b.step_arr(qs)(isa, jnp.asarray(d, idt))
             ub, ue = (int(v) for v in
                       np.asarray(jax.device_get(jnp.stack([ub, ue]))))
             timer.end_section(f"{config.factor}-pling-step d={d}")
@@ -736,16 +1061,16 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
         q = min(d // b.s, b.p)
         if config.construct_lcp:
             isa, sa, lcp, qkey, lq, rq, nq, brow, active, ub, ue = b.step(q)(
-                isa, lcp, jnp.int32(d))
+                isa, lcp, jnp.asarray(d, idt))
             ub, ue, nq = (int(v) for v in
                           np.asarray(jax.device_get(jnp.stack([ub, ue, nq]))))
             timer.end_section(f"doubling-step d={d}")
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
-                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
+                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.asarray(d, idt))
                 timer.end_section(f"lcp-resolve d={d} ({nq} queries)")
         else:
-            isa, sa, brow, active, ub, ue = b.step(q)(isa, jnp.int32(d))
+            isa, sa, brow, active, ub, ue = b.step(q)(isa, jnp.asarray(d, idt))
             ub, ue = (int(v) for v in
                       np.asarray(jax.device_get(jnp.stack([ub, ue]))))
             timer.end_section(f"doubling-step d={d}")

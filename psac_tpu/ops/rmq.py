@@ -54,6 +54,7 @@ def build_local_rmq(x, block: int | None = None,
     (no in-block tables, no per-block prefix/suffix scans), and queries
     answer their edge blocks with two masked block-row gathers."""
     s = x.shape[0]
+    INF = jnp.iinfo(x.dtype).max
     block = block or block_size_for(s)
     nb = s // block
     xb = x.reshape(nb, block)
@@ -67,7 +68,7 @@ def build_local_rmq(x, block: int | None = None,
     for j in range(1, levels):
         prev = rows[-1]
         w = 1 << (j - 1)
-        shifted = jnp.concatenate([prev[w:], jnp.full((min(w, nb),), INT32_INF, prev.dtype)])[:nb]
+        shifted = jnp.concatenate([prev[w:], jnp.full((min(w, nb),), INF, prev.dtype)])[:nb]
         rows.append(jnp.minimum(prev, shifted))
     # in-block doubling table: same-block queries become two O(1) gathers
     # (the (q, block) windowed-gather alternative costs ~20x more on TPU)
@@ -77,7 +78,7 @@ def build_local_rmq(x, block: int | None = None,
         for j in range(1, max(1, block.bit_length())):
             prev = sm[-1]
             w = 1 << (j - 1)
-            shifted = jnp.concatenate([prev[w:], jnp.full((min(w, s),), INT32_INF, prev.dtype)])[:s]
+            shifted = jnp.concatenate([prev[w:], jnp.full((min(w, s),), INF, prev.dtype)])[:s]
             sm.append(jnp.minimum(prev, shifted))
         small = jnp.stack(sm)
     return LocalRMQ(x=x, pref=pref, suff=suff, table=jnp.stack(rows),
@@ -95,6 +96,9 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     """
     block, nb = rmq.block, rmq.nb
     s = rmq.s
+    INF = jnp.iinfo(rmq.x.dtype).max
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
     bl = lo // block
     bh = hi // block
     # --- interior full blocks (bl, bh) exclusive, from the doubling table
@@ -105,7 +109,7 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     flat = rmq.table.reshape(-1)
     t1 = flat[jnp.clip(lev * nb + a, 0, flat.shape[0] - 1)]
     t2 = flat[jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat.shape[0] - 1)]
-    mid = jnp.where(length > 0, jnp.minimum(t1, t2), INT32_INF)
+    mid = jnp.where(length > 0, jnp.minimum(t1, t2), INF)
     if rmq.small is not None:
         # --- same-block path: classic two-lookup doubling query
         length = hi - lo + 1
@@ -128,8 +132,8 @@ def query_local_rmq(rmq: LocalRMQ, lo, hi):
     lmask = (offs >= lo_off) & (~same | (offs <= hi_off))
     rmask = (offs <= hi_off) & (~same | (offs >= lo_off))
     edge = jnp.minimum(
-        jnp.min(jnp.where(lmask, lw, INT32_INF), axis=1),
-        jnp.min(jnp.where(rmask, rw, INT32_INF), axis=1))
+        jnp.min(jnp.where(lmask, lw, INF), axis=1),
+        jnp.min(jnp.where(rmask, rw, INF), axis=1))
     return jnp.minimum(edge, mid)
 
 

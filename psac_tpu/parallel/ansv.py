@@ -31,7 +31,12 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM
-from psac_tpu.ops.walk import INT32_INF, build_min_table, next_leq, prev_lt
+from psac_tpu.ops.walk import (
+    INT32_INF,
+    build_levels as build_min_table,  # hierarchical T-ary windows
+    levels_next_leq as next_leq,
+    levels_prev_lt as prev_lt,
+)
 from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, mesh_key, num_shards, padded_size
 from psac_tpu.parallel.route import cap_for, route_apply
 
@@ -226,10 +231,14 @@ def _left_match_local_only(x, s: int, typ: int):
 
 
 def _left_match_p1(x, s: int, typ: int):
-    """Single-shard fast path: Pallas run-stack scan on TPU (with a
-    lax.cond walk fallback for pathological stack overflows); plain walks
-    on other backends (pallas interpret mode can't run inside shard_map)."""
-    if jax.default_backend() != "tpu":
+    """Single-shard fast path: Pallas run-stack scan on TPU (~52ns/elem on
+    the scalar unit — measured FASTER than the vectorized hierarchical
+    walks at 16M, whose 7 random row-gathers/walk run at ~50GB/s; set
+    PSAC_NSV_VEC=1 to force the vectorized walks).  Non-TPU backends use
+    the walks (pallas interpret mode can't run inside shard_map)."""
+    import os
+    if jax.default_backend() != "tpu" or \
+            os.environ.get("PSAC_NSV_VEC", "0") not in ("", "0"):
         return _left_match_local_only(x, s, typ)
 
     from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_left

@@ -42,7 +42,8 @@ def halo_from_right(x, count: int, p: int, fill=0):
         got = lax.slice_in_dim(jnp.concatenate(parts), 0, count)
     if fill != 0:
         i = lax.axis_index(AXIS)
-        base = (i + 1) * s
+        base = (i + 1).astype(
+            jax.dtypes.canonicalize_dtype(jnp.int64)) * s  # int32 w/o x64
         gpos = base + jnp.arange(count, dtype=jnp.int32)
         got = jnp.where(gpos < p * s, got, jnp.full_like(got, fill))
     return got
@@ -99,8 +100,14 @@ def exscan_scalar(v, p: int, op: str = "add", init=0):
 
 
 def global_index_base(s: int):
-    """Global index of this shard's first element."""
-    return lax.axis_index(AXIS).astype(jnp.int32) * s
+    """Global index of this shard's first element.
+
+    Computed in int64 so shard_base = rank*s cannot overflow for >2^31-char
+    texts; without jax_enable_x64 (the int32 builds) the astype silently
+    stays int32, which is exact there (N < 2^30).
+    """
+    return lax.axis_index(AXIS).astype(
+        jax.dtypes.canonicalize_dtype(jnp.int64)) * s
 
 
 def global_cummax(x, p: int):

@@ -18,6 +18,17 @@ AXIS = "x"
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first 2^k devices.
+
+    Power-of-two shard counts are a deliberate design constraint: the
+    distributed sort is a merge-split bitonic network over shards
+    (parallel/sort.py), whose compare-exchange stages require 2^k
+    participants.  TPU slices are power-of-two shaped in practice; on an
+    awkward device count, build the mesh over the largest 2^k subset
+    (``make_mesh(1 << (len(jax.devices()).bit_length() - 1))``), as
+    bench.py does.  (The reference instead tests awkward MPI rank counts,
+    e.g. 13 — its sample sort has no such constraint.)
+    """
     devs = jax.devices()
     p = num_devices or len(devs)
     if p & (p - 1):

@@ -37,6 +37,7 @@ def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
     Returns:
       (q,) int32 minima (INT32_INF at invalid entries).
     """
+    INF = jnp.iinfo(rmq.x.dtype).max
     l = jnp.where(valid, l, 0)
     r = jnp.where(valid, r, 0)
     shard_l = (l // s).astype(jnp.int32)
@@ -45,32 +46,34 @@ def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
 
     def answer_left(recv, recv_valid):
         rl, rr = recv
-        q_shard_l = rl // s
-        q_shard_r = rr // s
-        base = lax.axis_index(AXIS).astype(jnp.int32) * s
-        lo = jnp.clip(rl - base, 0, s - 1)
-        hi_same = jnp.clip(rr - base, 0, s - 1)
+        q_shard_l = (rl // s).astype(jnp.int32)
+        q_shard_r = (rr // s).astype(jnp.int32)
+        base = lax.axis_index(AXIS).astype(rl.dtype) * s
+        lo = jnp.clip(rl - base, 0, s - 1).astype(jnp.int32)
+        hi_same = jnp.clip(rr - base, 0, s - 1).astype(jnp.int32)
         q_cross = q_shard_l != q_shard_r
         hi = jnp.where(q_cross, s - 1, hi_same)
         part = query_local_rmq(rmq, lo, hi)
         # middle shards (q_shard_l, q_shard_r) exclusive, from replicated minima
         sh = jnp.arange(p, dtype=jnp.int32)[None, :]
         mid_mask = (sh > q_shard_l[:, None]) & (sh < q_shard_r[:, None])
-        mid = jnp.min(jnp.where(mid_mask, shard_mins[None, :], INT32_INF), axis=1)
+        mid = jnp.min(jnp.where(mid_mask, shard_mins[None, :], INF), axis=1)
         ans = jnp.where(q_cross, jnp.minimum(part, mid), part)
-        return (jnp.where(recv_valid, ans, INT32_INF),)
+        return (jnp.where(recv_valid, ans, INF),)
 
-    (left_ans,) = route_apply((l, r), shard_l, answer_left, (jnp.int32,), p)
+    (left_ans,) = route_apply((l, r), shard_l, answer_left,
+                              (rmq.x.dtype,), p)
 
     def answer_right(recv, recv_valid):
         (rr,) = recv
-        base = lax.axis_index(AXIS).astype(jnp.int32) * s
-        hi = jnp.clip(rr - base, 0, s - 1)
+        base = lax.axis_index(AXIS).astype(rr.dtype) * s
+        hi = jnp.clip(rr - base, 0, s - 1).astype(jnp.int32)
         ans = query_local_rmq(rmq, jnp.zeros_like(hi), hi)
-        return (jnp.where(recv_valid, ans, INT32_INF),)
+        return (jnp.where(recv_valid, ans, INF),)
 
-    (right_ans,) = route_apply((r,), shard_r, answer_right, (jnp.int32,), p)
-    right_ans = jnp.where(cross, right_ans, INT32_INF)
+    (right_ans,) = route_apply((r,), shard_r, answer_right,
+                               (rmq.x.dtype,), p)
+    right_ans = jnp.where(cross, right_ans, INF)
 
     out = jnp.minimum(left_ans, right_ans)
-    return jnp.where(valid, out, INT32_INF)
+    return jnp.where(valid, out, INF)

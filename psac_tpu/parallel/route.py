@@ -196,7 +196,9 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     recv = tuple(lax.all_to_all(x.reshape(p, cap), AXIS, split_axis=0, concat_axis=0).reshape(buf_len) for x in sent)
     recv_valid = lax.all_to_all(sent_valid.reshape(p, cap), AXIS, split_axis=0, concat_axis=0).reshape(buf_len)
 
-    base = lax.axis_index(AXIS).astype(jnp.int32) * s
+    # int64 so shard_base can exceed 2^31 (stays int32 without x64)
+    base = lax.axis_index(AXIS).astype(
+        jax.dtypes.canonicalize_dtype(jnp.int64)) * s
     loc = recv[0] - base
     loc = jnp.where(recv_valid, loc, s)  # out-of-range drop slot
     outs = []

@@ -128,3 +128,38 @@ def test_nsv_scan_kernel_interpret(typ):
         has = want_l != NONSV
         np.testing.assert_array_equal(np.asarray(val)[has],
                                       a[want_l[has].astype(np.int64)])
+
+
+@pytest.mark.parametrize("typ", TYPES)
+def test_hierarchical_walk_chunked(typ, monkeypatch):
+    """The lax.map-chunked hierarchical walks must agree with the oracle
+    when the query count spans multiple chunks (chunk size shrunk here;
+    production chunks are 512K)."""
+    import psac_tpu.ops.walk as walk
+
+    monkeypatch.setattr(walk, "_QCHUNK", 64)
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 6, size=1000).astype(np.int32)
+    import jax.numpy as jnp
+    levels = walk.build_levels(jnp.asarray(a))
+    n = len(a)
+    starts = jnp.arange(n, dtype=jnp.int32)
+    v = jnp.asarray(a)
+    strict = typ == NEAREST_SM
+    got = np.asarray(walk.levels_prev_lt(levels, starts, v, strict=strict))
+    want = np.full(n, -1, np.int64)
+    for i in range(n):
+        for j in range(i - 1, -1, -1):
+            if (a[j] < a[i]) if strict else (a[j] <= a[i]):
+                want[i] = j
+                break
+    np.testing.assert_array_equal(got, want)
+    # next_leq: first j >= start with a[j] <= v
+    got2 = np.asarray(walk.levels_next_leq(levels, starts, v))
+    for i in range(n):
+        w = n
+        for j in range(i, n):
+            if a[j] <= a[i]:
+                w = j
+                break
+        assert got2[i] == w or (w == n and got2[i] >= n), (i, got2[i], w)

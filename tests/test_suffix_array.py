@@ -136,17 +136,29 @@ def test_real_text_corpus(mesh8):
     np.testing.assert_array_equal(res.lcp, native.lcp_array(text, res.sa))
 
 
-def test_too_large_rejected(mesh1):
-    import pytest
-    from psac_tpu.models.suffix_array import encode_and_shard
+def test_int64_index_build(mesh8, mesh1):
+    """Texts >= 2^30 chars build with int64 indexes (the reference's uint64
+    index_t, src/psac.cpp:54).  force_int64 runs the same code path at a
+    testable size; results must be bit-identical to the int32 build."""
+    import dataclasses
 
-    class FakeLen(bytes):
-        # len() probe only — the guard must fire before any encoding work
-        def __len__(self):
-            return 1 << 30
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_array import index_dtype_for
 
-    with pytest.raises(ValueError, match="too large"):
-        encode_and_shard(FakeLen(b"x"), mesh1)
+    import jax.numpy as jnp
+    assert index_dtype_for(1 << 30, cfg.DEFAULT) == jnp.int64
+    assert index_dtype_for((1 << 30) - 8, cfg.DEFAULT) == jnp.int32
+
+    conf64 = dataclasses.replace(cfg.DEFAULT, force_int64=True)
+    for text in [rand_dna(5000, seed=9), b"ab" * 700 + b"ba" * 700]:
+        want = build_suffix_array(text, mesh=mesh8)
+        got = build_suffix_array(text, mesh=mesh8, config=conf64)
+        np.testing.assert_array_equal(got.sa, want.sa)
+        np.testing.assert_array_equal(got.lcp, want.lcp)
+        got1 = build_suffix_array(text, mesh=mesh1, config=conf64)
+        np.testing.assert_array_equal(got1.sa, want.sa)
+        # repetitive input exercises the int64 dense loop + tail
+        np.testing.assert_array_equal(got1.lcp, want.lcp)
 
 
 def test_fused_vs_host_loop(mesh8):
