@@ -230,15 +230,51 @@ def _left_match_local_only(x, s: int, typ: int):
     return idx, jnp.where(idx == NONSV, 0, val)
 
 
-def _left_match_p1(x, s: int, typ: int):
-    """Single-shard fast path: Pallas run-stack scan on TPU (~52ns/elem on
-    the scalar unit — measured FASTER than the vectorized hierarchical
-    walks at 16M, whose 7 random row-gathers/walk run at ~50GB/s; set
-    PSAC_NSV_VEC=1 to force the vectorized walks).  Non-TPU backends use
-    the walks (pallas interpret mode can't run inside shard_map)."""
+def _use_scan() -> bool:
+    """Pallas run-stack scans on TPU (~52ns/elem on the scalar unit —
+    measured FASTER than the vectorized hierarchical walks at 16M, whose 7
+    random row-gathers/walk run at ~50GB/s; set PSAC_NSV_VEC=1 to force the
+    walks).  Non-TPU backends use the walks (pallas interpret mode can't
+    run inside shard_map)."""
     import os
-    if jax.default_backend() != "tpu" or \
-            os.environ.get("PSAC_NSV_VEC", "0") not in ("", "0"):
+    return jax.default_backend() == "tpu" and \
+        os.environ.get("PSAC_NSV_VEC", "0") in ("", "0")
+
+
+def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
+    """Single-shard both-sides matches in ONE Pallas pass (the forward and
+    reverse run-stack chains are independent, so interleaving them fills
+    the scalar unit's load-use stalls).  Returns (lidx, lval, ridx_r,
+    rval_r) with the right-side outputs still in reversed coordinates
+    (the caller's shared postlude flips them)."""
+    from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_dual
+
+    pad = (-s) % CHUNK
+    xr = x[::-1]
+    if pad:
+        z = jnp.zeros((pad,), x.dtype)
+        xp = jnp.concatenate([x, z])
+        xrp = jnp.concatenate([xr, z])
+    else:
+        xp, xrp = x, xr
+    il, vl, ir, vr, ovf = nsv_scan_dual(xp, xrp, typ_l, typ_r, False, (AXIS,))
+    il, vl, ir, vr = il[:s], vl[:s], ir[:s], vr[:s]
+
+    def scan_res(_):
+        return (jnp.where(il < 0, NONSV, il), jnp.where(il < 0, 0, vl),
+                jnp.where(ir < 0, NONSV, ir), jnp.where(ir < 0, 0, vr))
+
+    def walk_res(_):
+        li, lv_ = _left_match_local_only(x, s, typ_l)
+        ri, rv_ = _left_match_local_only(xr, s, typ_r)
+        return li, lv_, ri, rv_
+
+    return lax.cond(ovf == 0, scan_res, walk_res, None)
+
+
+def _left_match_p1(x, s: int, typ: int):
+    """Single-shard one-side fast path (see ``_use_scan``)."""
+    if not _use_scan():
         return _left_match_local_only(x, s, typ)
 
     from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_left
@@ -288,15 +324,21 @@ def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
     routing buffers via ``route.cap_for``; nonzero ovf means the caller must
     retry with a larger capscale — results are incomplete).
     """
-    cap = cap_for(s, p, capscale)
-    lidx, lval, ovf_l = _left_match(x_l, s, p, left_type, cap=cap)
-    xr = _reverse_dist(x_l, p)
-    ridx_r, rval_r, ovf_r = _left_match(xr, s, p, right_type, cap=cap)
+    if p == 1 and _use_scan():
+        lidx, lval, ridx_r, rval_r = _dual_match_p1(
+            x_l, s, left_type, right_type)
+        ovf = jnp.int32(0)
+    else:
+        cap = cap_for(s, p, capscale)
+        lidx, lval, ovf_l = _left_match(x_l, s, p, left_type, cap=cap)
+        xr = _reverse_dist(x_l, p)
+        ridx_r, rval_r, ovf_r = _left_match(xr, s, p, right_type, cap=cap)
+        ovf = ovf_l + ovf_r
     ridx_r = _reverse_dist(ridx_r, p)
     rval = _reverse_dist(rval_r, p)
     N = s * p
     ridx = jnp.where(ridx_r == NONSV, NONSV, N - 1 - ridx_r)
-    return lidx, lval, ridx, rval, ovf_l + ovf_r
+    return lidx, lval, ridx, rval, ovf
 
 
 _JIT_CACHE: dict = {}

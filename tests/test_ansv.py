@@ -163,3 +163,30 @@ def test_hierarchical_walk_chunked(typ, monkeypatch):
                 w = j
                 break
         assert got2[i] == w or (w == n and got2[i] >= n), (i, got2[i], w)
+
+
+@pytest.mark.parametrize("lt,rt", [(NEAREST_SM, NEAREST_SM),
+                                   (FURTHEST_EQ, NEAREST_SM),
+                                   (NEAREST_EQ, FURTHEST_EQ)])
+def test_nsv_scan_dual_interpret(lt, rt):
+    """The one-pass dual kernel (both sides interleaved) must match the
+    oracle for both outputs."""
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_dual
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 5, size=CHUNK).astype(np.int32)
+    want_l, want_r = ansv_seq(a, lt, rt)
+    il, vl, ir, vr, ovf = nsv_scan_dual(jnp.asarray(a),
+                                        jnp.asarray(a[::-1].copy()), lt, rt,
+                                        True)
+    assert int(ovf) == 0
+    got_l = np.asarray(il, np.int64)
+    got_l[got_l < 0] = NONSV
+    np.testing.assert_array_equal(got_l, want_l)
+    n = len(a)
+    got_rr = np.asarray(ir, np.int64)  # reversed coords, reversed alignment
+    got_r = got_rr[::-1].copy()
+    got_r = np.where(got_r < 0, NONSV, n - 1 - got_r)
+    np.testing.assert_array_equal(got_r, want_r)
