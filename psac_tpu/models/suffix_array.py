@@ -318,7 +318,7 @@ class _Builder:
         """
         s = self.s
         idt = self.idt
-        nq = jnp.sum((qkey != self.INF).astype(jnp.int32))
+        nq = jnp.sum((qkey != self.INF).astype(idt))
         ks, ls, rs, ds = lax.sort((qkey, lq, rq, dz), num_keys=1)
         rmq = build_local_rmq(lcp_l, with_small=False)
 
@@ -327,7 +327,7 @@ class _Builder:
 
         def body(st):
             c, lcp_cur = st
-            off = c * m_pad
+            off = c.astype(idt) * m_pad
             kq_c = lax.dynamic_slice_in_dim(ks, off, m_pad)
             l_c = lax.dynamic_slice_in_dim(ls, off, m_pad)
             r_c = lax.dynamic_slice_in_dim(rs, off, m_pad)
@@ -493,11 +493,11 @@ class _Builder:
             # local extraction: local slot t (0-based) holds the (t+1)-th
             # active element; searchsorted over the inclusive count gives
             # its index
-            c_l = jnp.cumsum(active_l.astype(jnp.int32))
+            c_l = jnp.cumsum(active_l.astype(idt))
             tq = jnp.arange(1, m_cap + 1, dtype=jnp.int32)
-            idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
+            idx = jnp.searchsorted(c_l, tq, side="left")
             ok = tq <= cnt
-            safe = jnp.clip(idx, 0, s - 1)
+            safe = jnp.clip(idx, 0, s - 1).astype(idt)
             # no row field: the compact set stays in row order, and ties
             # inside a (bucket, B2) group sort by position cs — the same
             # deterministic order the dense sort produces

@@ -175,3 +175,37 @@ def test_fused_vs_host_loop(mesh8):
             res = bsa(text, mesh=mesh8, config=cfg)
             np.testing.assert_array_equal(res.sa, want_sa)
             np.testing.assert_array_equal(res.lcp, want_lcp)
+
+
+def test_int64_2pow31_shapes(mesh8):
+    """The int64 construction programs must trace at 2^31 chars over an
+    8-shard mesh (the int32-impossible regime; per-shard blocks stay under
+    2^31 as on any real machine).  eval_shape proves every intermediate —
+    bucket ids to N+1, distances to 2N, pad ranks — is shape- and
+    dtype-sound without allocating the ~100 GB of buffers a real 2^31 run
+    needs (executed coverage of the same code path is
+    test_int64_index_build)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psac_tpu.models.suffix_array import _Builder, _x64_ctx
+
+    N = 1 << 31
+    with _x64_ctx(jnp.int64):
+        b = _Builder(mesh8, N, 10, 10, 3, with_lcp=True, idt=jnp.int64)
+        codes = jax.ShapeDtypeStruct((N,), jnp.int32)
+        nn = jax.ShapeDtypeStruct((), jnp.int64)
+        outs = jax.eval_shape(b._init, codes, nn)
+        assert outs[0].shape == (N,) and outs[0].dtype == jnp.int64  # ISA
+        isa = jax.ShapeDtypeStruct((N,), jnp.int64)
+        lcp = jax.ShapeDtypeStruct((N,), jnp.int64)
+        d = jax.ShapeDtypeStruct((), jnp.int64)
+        souts = jax.eval_shape(b.step(0), isa, lcp, d)
+        assert souts[1].dtype == jnp.int64  # SA
+        m_cap = 1 << 22
+        bb = jax.ShapeDtypeStruct((N,), jnp.int64)
+        act = jax.ShapeDtypeStruct((N,), jnp.bool_)
+        touts = jax.eval_shape(b.tail_enter(m_cap), bb, bb, act)
+        cs = jax.ShapeDtypeStruct((m_cap,), jnp.int64)
+        uts = jax.eval_shape(b.tail_step(m_cap), cs, cs, isa, bb, lcp, d)
+        assert uts[3].dtype == jnp.int64
