@@ -11,7 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   reference numbers).
 
 Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
-("dna"|"repetitive"|"bytes").
+("dna"|"repetitive"|"text"|"bytes").
 """
 
 import json
@@ -35,6 +35,22 @@ def main():
         text = rand_dna(n, seed=42)
     elif corpus == "repetitive":
         text = rep_dna(n, seed=0)
+    elif corpus == "text":
+        # English-like stand-in for enwik8 (zero egress): this repo's own
+        # sources tiled to n with sparse point mutations
+        import glob
+        parts = []
+        for f in sorted(glob.glob("psac_tpu/**/*.py", recursive=True)) + \
+                sorted(glob.glob("*.md")):
+            with open(f, "rb") as fh:
+                parts.append(fh.read())
+        unit = b"".join(parts).replace(b"\x00", b" ")
+        reps = -(-n // len(unit))
+        arr = np.frombuffer((unit * reps)[:n], np.uint8).copy()
+        rng = np.random.RandomState(7)
+        idx = rng.randint(0, n, max(1, n // 4096))
+        arr[idx] = rng.randint(32, 127, len(idx))
+        text = arr.tobytes()
     else:
         rng = np.random.RandomState(42)
         text = rng.randint(1, 256, size=n, dtype=np.uint8).tobytes()

@@ -161,8 +161,10 @@ def cmd_benchmark(args) -> int:
         ("sa-lcp-reg", cfg.SAConfig(construct_lcp=True,
                                     tail_threshold_frac=0.0, fused=False)),
         ("sa-lcp-fast", cfg.SAConfig(construct_lcp=True)),
-        ("sa-nolcp-arr3", cfg.SAConfig(construct_lcp=False, factor=3)),
-        ("sa-nolcp-arr4", cfg.SAConfig(construct_lcp=False, factor=4)),
+        ("sa-nolcp-arr3", cfg.SAConfig(construct_lcp=False, factor=3,
+                                       fused=False)),
+        ("sa-nolcp-arr4", cfg.SAConfig(construct_lcp=False, factor=4,
+                                       fused=False)),
     ]
     for name, conf in variants:
         build_suffix_array(text, mesh=mesh, config=conf)  # warm-up

@@ -331,6 +331,11 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     """TLI + partition + reshard + RMQ from block-layout SA/LCP/Lc arrays
     (shared by construction and ``read_desa``; the reference likewise
     rebuilds TLI/repartition/RMQ on load, ``include/desa.hpp:366-397``)."""
+    if n >= (1 << 30):
+        # the DESA's tables/slabs/query answers are int32-typed; a >=2^30
+        # text would silently wrap instead of failing -> clear error (the
+        # SA+LCP construction itself supports int64 indexes)
+        raise ValueError(f"DESA is int32-indexed (n={n} >= 2^30 unsupported)")
     p = num_shards(mesh)
     bits = alpha.bits_per_char
     s = N // p
@@ -373,14 +378,18 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
             functools.partial(_sample_compact_local, s=s, p=p, n=n),
             mesh=mesh, in_specs=(P(AXIS),) * 3, out_specs=(P(AXIS),) * 3))
         keys_d, lcp_d, lc_d = compact_fn(keep_dev, lcp_block, lc_block)
-        # pull only the M sampled rows (a jitted slice+reshard: slicing a
-        # sharded array eagerly cannot resolve the output sharding)
-        pull = jax.jit(lambda a: jax.sharding.reshard(a[:M], rep_sh))
-        offs = np.asarray(jax.device_get(pull(keys_d)), np.int64)[:m]
+        # pull only the M sampled rows, stacked so ONE device round trip
+        # covers all three arrays (each sync costs ~27ms on remote
+        # transports); jitted because an eager slice of a sharded array
+        # cannot resolve its output sharding
+        pull = jax.jit(lambda a, b_, c: jax.sharding.reshard(
+            jnp.stack([a[:M], b_[:M], c[:M]]), rep_sh))
+        got = np.asarray(jax.device_get(pull(keys_d, lcp_d, lc_d)), np.int64)
+        offs = got[0, :m]
         samp_lcp = np.full(M, np.iinfo(np.int32).max, np.int32)
-        samp_lcp[:m] = np.asarray(jax.device_get(pull(lcp_d)), np.int64)[:m]
+        samp_lcp[:m] = got[1, :m]
         samp_lc = np.zeros(M, np.int32)
-        samp_lc[:m] = np.asarray(jax.device_get(pull(lc_d)), np.int64)[:m]
+        samp_lc[:m] = got[2, :m]
         off_ext = np.full(M + 1, n, np.int32)
         off_ext[:m] = offs
         rep = NamedSharding(mesh, P())

@@ -435,12 +435,16 @@ def build_gsa_device(strings, mesh=None,
             lcp = None
         ub_f, ue_f, tail_ran = (int(v) for v in
                                 np.asarray(jax.device_get(stats)))
-        if (tail_ran and ue_f == 0) or ue_f == 0:
+        if ue_f == 0:
             if config.construct_lcp:
                 lcp = _gsa_tiefix(lcp, sa, eos, b, mesh, p, N, config)
             return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
                              lens=lens, n=n, N=N, mesh=mesh)
-        raise AssertionError("fused GSA construction failed to converge")
+        # pathological non-convergence (max_iters safety bound hit): redo
+        # with the host-driven loop below rather than failing the build
+        import sys
+        print(f"[psac_tpu] fused GSA did not converge (ue={ue_f}); "
+              "falling back to the host-driven loop", file=sys.stderr)
 
     outs = b._init(xs, eos)
     if config.construct_lcp:

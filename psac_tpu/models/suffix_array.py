@@ -282,24 +282,23 @@ class _Builder:
         if m_pad not in self._resolve_cache:
             x = P(AXIS)
 
-            if True:
-                # compact by one distributed 1-key sort (INF keys sink to
-                # the tail); searchsorted compaction costs ~10x more at
-                # multi-M needle counts on TPU
-                def impl(lcp, qkey, lq, rq, d):
-                    compact = jax.shard_map(
-                        lambda a, b, c: dist_sort_local((a, b, c),
-                                                        num_keys=1, p=self.p),
-                        mesh=self.mesh, in_specs=(x, x, x),
-                        out_specs=(x, x, x))
-                    ks, ls, rs = compact(qkey, lq, rq)
-                    ks = jax.sharding.reshard(ks[:m_pad], self.sharded)
-                    ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
-                    rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
-                    solve = jax.shard_map(
-                        functools.partial(self._resolve_local),
-                        mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
-                    return solve(lcp, ks, ls, rs, d)
+            # compact by one distributed 1-key sort (INF keys sink to
+            # the tail); searchsorted compaction costs ~10x more at
+            # multi-M needle counts on TPU
+            def impl(lcp, qkey, lq, rq, d):
+                compact = jax.shard_map(
+                    lambda a, b, c: dist_sort_local((a, b, c),
+                                                    num_keys=1, p=self.p),
+                    mesh=self.mesh, in_specs=(x, x, x),
+                    out_specs=(x, x, x))
+                ks, ls, rs = compact(qkey, lq, rq)
+                ks = jax.sharding.reshard(ks[:m_pad], self.sharded)
+                ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
+                rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
+                solve = jax.shard_map(
+                    functools.partial(self._resolve_local),
+                    mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
+                return solve(lcp, ks, ls, rs, d)
 
             self._resolve_cache[m_pad] = jax.jit(impl)
         return self._resolve_cache[m_pad]
@@ -883,10 +882,11 @@ def _get_builder(mesh, N, k1, k2, bits, with_lcp, idt=jnp.int32) -> _Builder:
 def index_dtype_for(N: int, config) -> object:
     """int32 while every derived quantity (bucket ids <= N+1, doubling
     distances < 2N, padding ranks) fits; int64 beyond (the reference's
-    uint64 index_t builds, src/psac.cpp:54)."""
-    if getattr(config, "force_int64", False) or N >= (1 << 30):
+    uint64 index_t builds, src/psac.cpp:54).  The ceiling lives in
+    config.index_dtype."""
+    if getattr(config, "force_int64", False):
         return jnp.int64
-    return jnp.int32
+    return cfg_mod.index_dtype(N)
 
 
 def _x64_ctx(idt):
@@ -899,8 +899,17 @@ def _x64_ctx(idt):
         from jax._src.config import enable_x64  # scoped (thread-local)
         return enable_x64(True)
     except ImportError:  # pragma: no cover - jax version fallback
-        jax.config.update("jax_enable_x64", True)
-        return contextlib.nullcontext()
+
+        @contextlib.contextmanager
+        def _global_x64():
+            old_val = jax.config.jax_enable_x64
+            jax.config.update("jax_enable_x64", True)
+            try:
+                yield
+            finally:
+                jax.config.update("jax_enable_x64", old_val)
+
+        return _global_x64()
 
 
 def encode_and_shard(text: bytes | np.ndarray, mesh,

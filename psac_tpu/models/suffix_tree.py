@@ -196,6 +196,11 @@ def construct_suffix_tree_device(dsa: DeviceSuffixArray, xs, mesh) -> DeviceSuff
     encoded padded text ``xs`` (as produced by ``encode_and_shard``)."""
     if dsa.lcp is None:
         raise ValueError("suffix tree construction requires the LCP array")
+    if dsa.N * (dsa.alphabet.sigma + 1) >= (1 << 31):
+        # the flat node table indexes (parent*(sigma+1) + slot) are int32
+        raise ValueError(
+            f"suffix tree node table exceeds int32 addressing: "
+            f"N*(sigma+1) = {dsa.N * (dsa.alphabet.sigma + 1)} >= 2^31")
     p = num_shards(mesh)
     s = dsa.N // p
     sigma = dsa.alphabet.sigma
@@ -230,6 +235,10 @@ def construct_gst_device(dgsa) -> DeviceSuffixTree:
     """Generalized suffix tree from a device-resident GSA (+GLCP)."""
     if dgsa.lcp is None:
         raise ValueError("GST construction requires the GLCP array")
+    if dgsa.N * (dgsa.alphabet.sigma + 2) >= (1 << 31):
+        raise ValueError(
+            f"GST node table exceeds int32 addressing: "
+            f"N*(sigma+2) = {dgsa.N * (dgsa.alphabet.sigma + 2)} >= 2^31")
     mesh = dgsa.mesh
     p = num_shards(mesh)
     s = dgsa.N // p

@@ -157,7 +157,6 @@ def _levels_prev_lt_impl(levels, start, v, strict):
     # ---- ascent: find the lowest level whose ancestor row has a
     # qualifying entry left of (or at, for level 0) the own position
     hits, lasts, sibs = [], [], []
-    a_k = p0 >> _TBITS  # ancestor index at level 1... maintained per level
     own = p0
     for k in range(L):
         parent = own >> _TBITS
