@@ -11,7 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   reference numbers).
 
 Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
-("dna"|"repetitive"|"text"|"bytes").
+("dna"|"repetitive"|"text"|"textmix"|"bytes").
 """
 
 import json
@@ -35,21 +35,39 @@ def main():
         text = rand_dna(n, seed=42)
     elif corpus == "repetitive":
         text = rep_dna(n, seed=0)
-    elif corpus == "text":
-        # English-like stand-in for enwik8 (zero egress): this repo's own
-        # sources tiled to n with sparse point mutations
+    elif corpus in ("text", "textmix"):
+        # English-like stand-ins for enwik8 (zero egress), built from this
+        # repo's own sources: "text" tiles them whole (an ADVERSARIAL
+        # long-repeat corpus: ~700 KB repeat unit), "textmix" concatenates
+        # random 64-512 B slices (diverse, bounded repeats — the closer
+        # stand-in for real mixed text)
         import glob
         parts = []
         for f in sorted(glob.glob("psac_tpu/**/*.py", recursive=True)) + \
                 sorted(glob.glob("*.md")):
             with open(f, "rb") as fh:
                 parts.append(fh.read())
-        unit = b"".join(parts).replace(b"\x00", b" ")
-        reps = -(-n // len(unit))
-        arr = np.frombuffer((unit * reps)[:n], np.uint8).copy()
+        unit = np.frombuffer(
+            b"".join(parts).replace(b"\x00", b" "), np.uint8)
         rng = np.random.RandomState(7)
-        idx = rng.randint(0, n, max(1, n // 4096))
-        arr[idx] = rng.randint(32, 127, len(idx))
+        if corpus == "text":
+            reps = -(-n // len(unit))
+            arr = np.tile(unit, reps)[:n].copy()
+            idx = rng.randint(0, n, max(1, n // 4096))
+            arr[idx] = rng.randint(32, 127, len(idx))
+        else:
+            m = n // 128 + 2
+            lens = rng.randint(64, 513, m)
+            lens = lens[np.cumsum(lens) <= n + 512]
+            starts = rng.randint(0, len(unit) - 600, len(lens))
+            # index array = concat of [starts[i], starts[i]+lens[i])
+            ends = np.cumsum(lens)
+            begins = ends - lens
+            pos = np.arange(ends[-1], dtype=np.int64)
+            seg = np.searchsorted(ends, pos, side="right")
+            arr = unit[starts[seg] + (pos - begins[seg])][:n].copy()
+            if len(arr) < n:
+                arr = np.concatenate([arr, np.tile(unit, 1)[:n - len(arr)]])
         text = arr.tobytes()
     else:
         rng = np.random.RandomState(42)
