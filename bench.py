@@ -42,9 +42,11 @@ def main():
         # random 64-512 B slices (diverse, bounded repeats — the closer
         # stand-in for real mixed text)
         import glob
+        root = os.path.dirname(os.path.abspath(__file__))
         parts = []
-        for f in sorted(glob.glob("psac_tpu/**/*.py", recursive=True)) + \
-                sorted(glob.glob("*.md")):
+        for f in sorted(glob.glob(os.path.join(root, "psac_tpu/**/*.py"),
+                                  recursive=True)) + \
+                sorted(glob.glob(os.path.join(root, "*.md"))):
             with open(f, "rb") as fh:
                 parts.append(fh.read())
         unit = np.frombuffer(
@@ -56,9 +58,12 @@ def main():
             idx = rng.randint(0, n, max(1, n // 4096))
             arr[idx] = rng.randint(32, 127, len(idx))
         else:
-            m = n // 128 + 2
+            m = n // 64 + 2
             lens = rng.randint(64, 513, m)
-            lens = lens[np.cumsum(lens) <= n + 512]
+            # keep slices through the first one whose cumulative length
+            # covers n (guaranteed: worst case 64*m >= n + 128)
+            cut = int(np.searchsorted(np.cumsum(lens), n)) + 1
+            lens = lens[:cut]
             starts = rng.randint(0, len(unit) - 600, len(lens))
             # index array = concat of [starts[i], starts[i]+lens[i])
             ends = np.cumsum(lens)
@@ -66,8 +71,7 @@ def main():
             pos = np.arange(ends[-1], dtype=np.int64)
             seg = np.searchsorted(ends, pos, side="right")
             arr = unit[starts[seg] + (pos - begins[seg])][:n].copy()
-            if len(arr) < n:
-                arr = np.concatenate([arr, np.tile(unit, 1)[:n - len(arr)]])
+            assert len(arr) == n
         text = arr.tobytes()
     else:
         rng = np.random.RandomState(42)

@@ -255,6 +255,11 @@ def build_desa(text: bytes | np.ndarray, mesh=None,
         raise ValueError("build_desa requires a byte text "
                          "(bytes or uint8 array); got dtype "
                          f"{np.asarray(text).dtype}")
+    if len(text) >= (1 << 30):
+        # fail BEFORE the (expensive) SA+LCP+Lc construction; the same
+        # guard in _assemble_desa covers the read_desa path
+        raise ValueError(f"DESA is int32-indexed (n={len(text)} >= 2^30 "
+                         "unsupported)")
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh, config)
     dsa = construct_device(xs, alpha, n, N, mesh, config)

@@ -2,24 +2,35 @@
 
 TPU-native re-design of the reference's ``suffix_array`` class
 (``include/suffix_array.hpp:170-1513``): k-mer initial ranking followed by
-prefix doubling, with the LCP array resolved incrementally via distributed
-bulk RMQs — but expressed as a host-staged loop of jitted SPMD steps over a
-1-D device mesh instead of MPI ranks:
+prefix multiplication, with the LCP array resolved incrementally via
+distributed bulk RMQs, over a 1-D device mesh instead of MPI ranks:
 
   * the text (encoded, 0-padded to N = p*s) is block-sharded; all per-element
-    state (ISA ranks, LCP) lives in (N,) sharded int32 arrays;
+    state (ISA ranks, LCP) lives in (N,) sharded index-dtype arrays — int32
+    below 2^30 chars, int64 beyond (the reference's ``index_t`` template,
+    ``src/psac.cpp:54``), with in-shard offsets always int32;
   * "bucket id" keeps the reference's convention: 1-based global index of the
     bucket's first element, 0 reserved for shifted-past-the-end
     (``include/bucketing.hpp:59-63``);
-  * one doubling iteration = ppermute shift (B2 = ISA[i+d]) -> distributed
-    merge-split bitonic sort by (B, B2, i) -> segmented-max rebucket ->
-    scatter-by-sort SA->ISA, all inside one jit; the unfinished-bucket count
-    is the only host round trip and drives early exit;
+  * one dense iteration = shift(s) (B@jd = ISA[i+j*d]) -> distributed
+    merge-split bitonic sort -> segmented-max rebucket -> scatter-by-sort
+    SA->ISA, with LCP range-queries resolved against a row-window RMQ;
   * padding: the 0-sentinel padding suffixes are strictly smallest and occupy
     SA[0 : N-n]; the real SA/LCP are the trailing n entries.
 
-The jit cache stays small: the shard-distance q = d // s selects the ppermute
-pattern (O(log p) distinct values); the in-iteration remainder is traced.
+Two drivers share the step/tail kernels:
+
+  * **single shard** (the per-chip hot path): ``_Builder.fused_full`` runs
+    the ENTIRE construction as one dispatched program — init, a dense
+    prefix-quadrupling ``lax.while_loop`` with a *traced* shift distance
+    (a local dynamic slice needs no ppermute pattern) and LCP interleaved
+    via the per-column additive j*d recurrence (beyond the reference, whose
+    ``construct_arr<L>`` is SA-only), then a two-stage sparse
+    bucket-chaising tail whose capacity recompacts downward — with a single
+    (3,) stats readback;
+  * **multi-shard**: a host-staged loop of jitted SPMD steps; the
+    shard-distance q = d // s selects the ppermute pattern (O(log p)
+    distinct jit entries) and the in-iteration remainder is traced.
 """
 
 from __future__ import annotations
@@ -322,7 +333,7 @@ class _Builder:
         rmq = build_local_rmq(lcp_l, with_small=False)
 
         def cond(st):
-            return st[0] * m_pad < nq
+            return st[0].astype(idt) * m_pad < nq
 
         def body(st):
             c, lcp_cur = st
@@ -978,7 +989,17 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
                             k, k1, k2, bits, timer) -> DeviceSuffixArray:
     b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp, idt=idt)
 
-    if config.fused:
+    # the fused dense loop supports factors 2 and 4; a requested SA-only
+    # tripling (reference construct_arr<3>) runs the host-driven loop
+    use_fused = config.fused and not (
+        not config.construct_lcp and config.factor == 3)
+    if config.construct_lcp:
+        fused_factor = config.dense_factor
+    else:
+        fused_factor = config.factor if config.factor in (2, 4) \
+            else config.dense_factor
+
+    if use_fused:
         # one-dispatch fast path: init + sparse tail inside a single program,
         # a single (3,) readback decides whether the host loop is needed
         # small static capacity keeps the fused tail's sorts/scatters cheap
@@ -990,8 +1011,7 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
             # (a local dynamic slice; no ppermute pattern to specialize)
             m_cap2 = max(8, min(N, _pow2ceil(max(256, N // 1024))))
             m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
-            outs = b.fused_full(m_cap_f, m_cap2,
-                                factor=config.dense_factor)(
+            outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor)(
                 xs, jnp.asarray(n, idt))
         else:
             # small static capacity keeps the fused tail's sorts/scatters

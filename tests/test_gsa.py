@@ -107,8 +107,7 @@ def test_gst_dna_set(mesh8):
 
 def test_gsa_fused_single_shard(mesh1):
     """mesh1 takes the fused one-dispatch GSA path (init + dense while_loop
-    + eos-aware two-stage tail); must equal the sorted-suffix oracle and the
-    mesh8 host-driven build bit-for-bit."""
+    + eos-aware two-stage tail); GSA AND GLCP must equal the oracle."""
     from psac_tpu.models.gsa import build_gsa
     from psac_tpu.ops.alphabet import rand_dna
 
@@ -116,11 +115,7 @@ def test_gsa_fused_single_shard(mesh1):
     strings = [rand_dna(int(l), seed=300 + i)
                for i, l in enumerate(rng.randint(2, 150, 30))]
     strings += [b"abab" * 40] * 3 + [b"a" * 120, b"a" * 60]
-    flat = b"".join(strings)
-    lens = np.array([len(x) for x in strings], np.int64)
-    eos = np.repeat(np.cumsum(lens), lens)
-    order = np.array(sorted(range(len(flat)),
-                            key=lambda i: (flat[i:eos[i]], i)))
+    want_sa, want_lcp = gsa_oracle(strings)
     g1 = build_gsa(strings, mesh=mesh1)
-    np.testing.assert_array_equal(g1.sa, order)
-    assert g1.lcp is not None
+    np.testing.assert_array_equal(g1.sa, want_sa)
+    np.testing.assert_array_equal(g1.lcp, want_lcp)
