@@ -124,3 +124,17 @@ def test_read_desa_tli_passthrough(mesh8, tmp_path):
     sa = suffix_array_np(text)
     pats = [text[7:19], text[100:103], b"GGGGGGGGGGGGGGGGGG"]
     check_patterns(loaded, text, sa, pats)
+
+
+def test_locate_possible_tldt(mesh8):
+    """locate_possible with the TLDT top-level index (unverified
+    semantics)."""
+    from psac_tpu.models.desa import build_desa
+    text = rand_dna(1800, seed=31)
+    desa = build_desa(text, mesh=mesh8, tli="tldt", maxsize=8)
+    sa = suffix_array_np(text)
+    for pat in (text[50:62], text[900:905]):
+        l, r = desa.locate_possible(pat)
+        el, er = desa.locate(pat)
+        assert (l, r) == (el, er)
+        assert sorted(sa[l:r].tolist()) == occurrences(text, pat)

@@ -209,3 +209,16 @@ def test_int64_2pow31_shapes(mesh8):
         cs = jax.ShapeDtypeStruct((m_cap,), jnp.int64)
         uts = jax.eval_shape(b.tail_step(m_cap), cs, cs, isa, bb, lcp, d)
         assert uts[3].dtype == jnp.int64
+
+
+def test_two_stage_tail_big_stage(mesh1):
+    """Corpora sized so the active set lands between the small and big tail
+    capacities at mesh1 exercise the fused path's BIG tail stage + the
+    recompaction to the small stage (converging corpora enter the small
+    stage directly and never cover it)."""
+    from psac_tpu.ops.alphabet import rep_dna
+
+    for n, unit, mut in [(32768, 512, 6), (32768, 1024, 12),
+                         (65536, 2048, 20)]:
+        text = rep_dna(n, unit_len=unit, seed=n + unit, mutations=mut)
+        check(text, mesh1)
