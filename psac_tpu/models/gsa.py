@@ -250,7 +250,7 @@ class _GsaBuilder(_Builder):
                     ub, ue = self._gstep_local(isa, eos_l, lcp, d, q=0)
                 dz = jnp.broadcast_to(d.astype(self.idt), qkey.shape)
                 lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
-                                                m_pad=max(8, self.s // 16))
+                                                m_pad=max(8, self.s // 32))
             else:
                 isa, sa, brow, active, eos_row, ub, ue = \
                     self._gstep_local(isa, eos_l, d, q=0)

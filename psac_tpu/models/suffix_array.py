@@ -606,22 +606,25 @@ class _Builder:
     # init -> dense doubling (row-aligned LCP resolve, no compaction or
     # scatter) -> sparse tail, with a single (3,) stats readback.
 
-    def fused_full(self, m_cap: int, m_cap2: int, factor: int = 4):
-        key = ("fused_full", m_cap, m_cap2, factor)
+    def fused_full(self, m_cap: int, m_cap2: int, factor: int = 4,
+                   resolve_div: int = 32):
+        key = ("fused_full", m_cap, m_cap2, factor, resolve_div)
         if key not in self._step_cache:
             assert self.p == 1, "fused_full is the single-shard path"
             x, r = P(AXIS), P()
             nout = 5 if self.with_lcp else 4
             fn = jax.shard_map(
                 functools.partial(self._fused_full_local, m_cap=m_cap,
-                                  m_cap2=m_cap2, factor=factor),
+                                  m_cap2=m_cap2, factor=factor,
+                                  resolve_div=resolve_div),
                 mesh=self.mesh, in_specs=(x, r),
                 out_specs=(x,) * nout + (r,))
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
     def _fused_full_local(self, codes_l, n_real, *, m_cap: int,
-                          m_cap2: int, factor: int = 4):
+                          m_cap2: int, factor: int = 4,
+                          resolve_div: int = 32):
         """init -> dense L-pling while_loop -> two-stage sparse tail.
 
         The tail's static capacity scales every tail sort/route, so it runs
@@ -643,9 +646,11 @@ class _Builder:
         max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
         cap_t = jnp.asarray(m_cap, idt)
         cap2_t = jnp.asarray(m_cap2, idt)
-        # small chunks: early iterations (few queries) pay one ~s/16 chunk
+        # small chunks: early iterations (few queries) pay one small chunk
         # instead of a quarter-array one; late iterations loop a few times
-        m_pad = max(8, self.s // 16)
+        # (measured on the 16 MiB repetitive corpus: s/32 1.86s, s/16
+        # 1.93s, s/8 2.40s, s/4 3.26s)
+        m_pad = max(8, self.s // resolve_div)
 
         def dcond(st):
             _, _, _, _, _, ub, ue, d, it = st
