@@ -57,34 +57,44 @@ def _pow2ceil(x: int) -> int:
 # construction
 # --------------------------------------------------------------------------
 
-def _kmer_hist_local(xs_l, *, s: int, p: int, n: int, k: int, bits: int, T: int):
+def _gidx(s: int, idt):
+    """Global element index of this shard's rows in the index dtype (the
+    int64 product avoids rank*s overflow for >= 2^31-char texts)."""
+    base = lax.axis_index(AXIS).astype(
+        jax.dtypes.canonicalize_dtype(jnp.int64)) * s
+    return (base + jnp.arange(s, dtype=jnp.int32)).astype(idt)
+
+
+def _kmer_hist_local(xs_l, *, s: int, p: int, n: int, k: int, bits: int,
+                     T: int, idt=jnp.int32):
     """Replicated k-mer histogram of the text (positions < n, zero-padded)."""
     halo = halo_from_right(xs_l, k - 1, p)
     win = jnp.concatenate([xs_l, halo])
     km = jnp.zeros((s,), jnp.int32)
     for j in range(k):
         km = (km << bits) | win[j:j + s]
-    g = lax.axis_index(AXIS).astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
-    ones = (g < n).astype(jnp.int32)
-    hist = jnp.zeros((T,), jnp.int32).at[km].add(ones)
+    g = _gidx(s, idt)
+    ones = (g < n).astype(idt)
+    hist = jnp.zeros((T,), idt).at[km].add(ones)
     return lax.psum(hist, AXIS)
 
 
-def _reshard_local(lcp_l, sa_l, lc_l, begins, *, s: int, p: int, n: int, cap: int):
+def _reshard_local(lcp_l, sa_l, lc_l, begins, *, s: int, p: int, n: int,
+                   cap: int, idt=jnp.int32):
     """Scatter real SA/LCP/Lc rows into the subtree-aligned padded slabs."""
     N = s * p
     off = N - n
-    g = lax.axis_index(AXIS).astype(jnp.int32) * s + jnp.arange(s, dtype=jnp.int32)
+    g = _gidx(s, idt)
     real = g >= off
     rg = jnp.where(real, g - off, 0)
     owner = jnp.sum((begins[None, :] <= rg[:, None]).astype(jnp.int32), axis=1) - 1
     slot = rg - begins[owner]
-    flat = owner * cap + slot
-    sa_slab = jnp.zeros((cap,), jnp.int32)
+    flat = owner.astype(idt) * cap + slot
+    sa_slab = jnp.zeros((cap,), idt)
     lc_slab = jnp.zeros((cap,), jnp.int32)
-    lcp_slab = jnp.full((cap,), INT32_INF, jnp.int32)
-    lcp_adj = jnp.where(g == off, 0, lcp_l)
-    out = route_scatter(flat, (sa_l, lcp_adj, lc_l),
+    lcp_slab = jnp.full((cap,), jnp.iinfo(idt).max, idt)
+    lcp_adj = jnp.where(g == off, jnp.asarray(0, lcp_l.dtype), lcp_l)
+    out = route_scatter(flat, (sa_l, lcp_adj, lc_l.astype(jnp.int32)),
                         (sa_slab, lcp_slab, lc_slab), real, cap, p)
     return out
 
@@ -110,6 +120,7 @@ class DESA:
     xs: jax.Array           # (N,) block-sharded encoded text (verification)
     tli: str = "tllt"       # top-level index kind: "tllt" or "tldt"
     samp: dict | None = None  # tldt: replicated sampled-LCP search structure
+    idt: object = jnp.int32   # index dtype (reference index_t, desa.hpp:222)
     _query_cache: dict = dataclasses.field(default_factory=dict)
 
     # ---------------- queries ----------------
@@ -165,16 +176,18 @@ class DESA:
         shard = NamedSharding(self.mesh, P(AXIS))
         dmat = jax.device_put(mat, shard)
         dlens = jax.device_put(lens, shard)
+        from psac_tpu.models.suffix_array import _x64_ctx
         from psac_tpu.utils.timers import timers_enabled
         stats = timers_enabled()
-        fn = self._get_query_fn(Bp // p, Lmax, verify, stats)
-        if self.tli == "tllt":
-            outs = fn(dmat, dlens, self.table, self.begins, self.sa, self.lcp,
-                      self.lc, *self.rmq_parts, self.xs)
-        else:
-            outs = fn(dmat, dlens, self.samp["off_ext"], self.samp["lcp"],
-                      self.samp["lc"], *self.samp["rmq"], self.begins,
-                      self.sa, self.lcp, self.lc, *self.rmq_parts, self.xs)
+        with _x64_ctx(self.idt):
+            fn = self._get_query_fn(Bp // p, Lmax, verify, stats)
+            if self.tli == "tllt":
+                outs = fn(dmat, dlens, self.table, self.begins, self.sa,
+                          self.lcp, self.lc, *self.rmq_parts, self.xs)
+            else:
+                outs = fn(dmat, dlens, self.samp["off_ext"], self.samp["lcp"],
+                          self.samp["lc"], *self.samp["rmq"], self.begins,
+                          self.sa, self.lcp, self.lc, *self.rmq_parts, self.xs)
         l, r = outs[:2]
         if stats:
             # query load-imbalance factor (reference bulk_rma.hpp:27-35)
@@ -213,7 +226,8 @@ class DESA:
                         _bulk_locate_local, b=b, Lmax=Lmax, p=p, n=self.n,
                         s=self.N // p, k=self.k, cap=self.cap,
                         bits=self.alphabet.bits_per_char,
-                        rmq_block=self.rmq_block, verify=verify, stats=stats),
+                        rmq_block=self.rmq_block, verify=verify, stats=stats,
+                        idt=self.idt),
                     mesh=self.mesh,
                     # (mat, lens, table, begins, sa, lcp, lc,
                     #  tab_v/a, xs)
@@ -229,7 +243,7 @@ class DESA:
                         rmq_block=self.rmq_block,
                         m_samp=self.samp["m"], M_samp=self.samp["M"],
                         samp_block=self.samp["block"], verify=verify,
-                        stats=stats),
+                        stats=stats, idt=self.idt),
                     mesh=self.mesh,
                     # (mat, lens, off_ext, samp_lcp/lc, samp tab_v/a,
                     #  begins, sa, lcp, lc, tab_v/a, xs)
@@ -255,17 +269,13 @@ def build_desa(text: bytes | np.ndarray, mesh=None,
         raise ValueError("build_desa requires a byte text "
                          "(bytes or uint8 array); got dtype "
                          f"{np.asarray(text).dtype}")
-    if len(text) >= (1 << 30):
-        # fail BEFORE the (expensive) SA+LCP+Lc construction; the same
-        # guard in _assemble_desa covers the read_desa path
-        raise ValueError(f"DESA is int32-indexed (n={len(text)} >= 2^30 "
-                         "unsupported)")
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh, config)
     dsa = construct_device(xs, alpha, n, N, mesh, config)
     lc = compute_lc_device(dsa, xs)
     return _assemble_desa(xs, alpha, n, N, dsa.lcp, dsa.sa, lc, mesh,
-                          tli_bits, tli, maxsize)
+                          tli_bits, tli, maxsize,
+                          force_int64=getattr(config, "force_int64", False))
 
 
 def _partition_from_prefix(ps: np.ndarray, n: int, p: int):
@@ -300,7 +310,10 @@ def _sample_mask_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
     off = N - n
     g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
     real = g >= off
-    lcp_adj = jnp.where(real, lcp_l, jnp.int32(-1))
+    # int32 is exact here: LCP values <= N, and the tldt path is gated to
+    # n < 2^31 (the ANSV match indices are int32)
+    lcp32 = lcp_l.astype(jnp.int32)
+    lcp_adj = jnp.where(real, lcp32, jnp.int32(-1))
     lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
     lidx, _, ridx, _, _ = ansv_local(lcp_adj, s, p, NEAREST_SM, NEAREST_SM)
     L = jnp.maximum(jnp.where(lidx == NONSV, off, lidx), off)
@@ -324,6 +337,7 @@ def _sample_compact_local(keep_l, lcp_l, lc_l, *, s: int, p: int, n: int):
     N = s * p
     off = N - n
     g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(jnp.int32)
+    # int32 exact under the tldt n < 2^31 gate (see _sample_mask_local)
     lcp_adj = jnp.where(g == off, 0, lcp_l).astype(jnp.int32)
     key = jnp.where(keep_l, g - off, INT32_INF)
     return dist_sort_local((key, lcp_adj, lc_l.astype(jnp.int32)),
@@ -332,15 +346,33 @@ def _sample_compact_local(keep_l, lcp_l, lc_l, *, s: int, p: int, n: int):
 
 def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
                    mesh, tli_bits: int, tli: str = "tllt",
-                   maxsize: int | None = None) -> DESA:
+                   maxsize: int | None = None,
+                   force_int64: bool = False) -> DESA:
     """TLI + partition + reshard + RMQ from block-layout SA/LCP/Lc arrays
     (shared by construction and ``read_desa``; the reference likewise
-    rebuilds TLI/repartition/RMQ on load, ``include/desa.hpp:366-397``)."""
-    if n >= (1 << 30):
-        # the DESA's tables/slabs/query answers are int32-typed; a >=2^30
-        # text would silently wrap instead of failing -> clear error (the
-        # SA+LCP construction itself supports int64 indexes)
-        raise ValueError(f"DESA is int32-indexed (n={n} >= 2^30 unsupported)")
+    rebuilds TLI/repartition/RMQ on load, ``include/desa.hpp:366-397``).
+
+    The slabs, tables, ``begins`` and query answers carry the index dtype
+    (int64 at n >= 2^30, like the reference's ``index_t``-templated
+    ``dist_desa``, ``include/desa.hpp:222-248``); in-slab offsets, pattern
+    codes and shard ids stay int32."""
+    from psac_tpu.models.suffix_array import _x64_ctx
+
+    idt = jnp.int64 if force_int64 else cfg_mod.index_dtype(N)
+    if tli == "tldt" and n >= (1 << 31):
+        # the TLDT sampling mask runs distributed ANSV over the LCP array,
+        # whose global match indices are int32 (parallel/ansv.py); TLLT (the
+        # default TLI) carries the full int64 range
+        raise ValueError("tldt sampling is int32-index-bounded; use the "
+                         f"tllt TLI for n={n} >= 2^31 texts")
+    with _x64_ctx(idt):
+        return _assemble_desa_inner(xs, alpha, n, N, lcp_block, sa_block,
+                                    lc_block, mesh, tli_bits, tli, maxsize,
+                                    idt)
+
+
+def _assemble_desa_inner(xs, alpha, n, N, lcp_block, sa_block, lc_block,
+                         mesh, tli_bits, tli, maxsize, idt) -> DESA:
     p = num_shards(mesh)
     bits = alpha.bits_per_char
     s = N // p
@@ -351,14 +383,16 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     while k > 1 and (1 << (k * bits)) > max(1024, 4 * n):
         k -= 1
     samp = None
-    table = jnp.zeros((1,), jnp.int32)
+    np_idt = np.dtype(jnp.dtype(idt).name)
+    table = jnp.zeros((1,), idt)
 
     if tli == "tllt":
         T = 1 << (k * bits)
         hist_fn = jax.jit(jax.shard_map(
-            functools.partial(_kmer_hist_local, s=s, p=p, n=n, k=k, bits=bits, T=T),
+            functools.partial(_kmer_hist_local, s=s, p=p, n=n, k=k, bits=bits,
+                              T=T, idt=idt),
             mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))
-        table = jnp.cumsum(hist_fn(xs), dtype=jnp.int32)
+        table = jnp.cumsum(hist_fn(xs), dtype=idt)
         table_np = np.asarray(jax.device_get(table))
         begins_np, cap = _partition_from_prefix(table_np, n, p)
     elif tli == "tldt":
@@ -391,11 +425,11 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
             jnp.stack([a[:M], b_[:M], c[:M]]), rep_sh))
         got = np.asarray(jax.device_get(pull(keys_d, lcp_d, lc_d)), np.int64)
         offs = got[0, :m]
-        samp_lcp = np.full(M, np.iinfo(np.int32).max, np.int32)
+        samp_lcp = np.full(M, np.iinfo(np_idt).max, np_idt)
         samp_lcp[:m] = got[1, :m]
         samp_lc = np.zeros(M, np.int32)
         samp_lc[:m] = got[2, :m]
-        off_ext = np.full(M + 1, n, np.int32)
+        off_ext = np.full(M + 1, n, np_idt)
         off_ext[:m] = offs
         rep = NamedSharding(mesh, P())
         d_lcp = jax.device_put(samp_lcp, rep)
@@ -414,10 +448,10 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     else:
         raise ValueError(f"unknown tli kind {tli!r}")
 
-    begins = jax.device_put(begins_np.astype(np.int32), NamedSharding(mesh, P()))
+    begins = jax.device_put(begins_np.astype(np_idt), NamedSharding(mesh, P()))
 
     reshard_fn = jax.jit(jax.shard_map(
-        functools.partial(_reshard_local, s=s, p=p, n=n, cap=cap),
+        functools.partial(_reshard_local, s=s, p=p, n=n, cap=cap, idt=idt),
         mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),),
         out_specs=(P(AXIS),) * 3))
     sa_slab, lcp_slab, lc_slab = reshard_fn(lcp_block, sa_block, lc_block, begins)
@@ -436,7 +470,7 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
                 begins=begins, begins_np=begins_np, cap=cap,
                 sa=sa_slab, lcp=lcp_slab, lc=lc_slab,
                 rmq_parts=tuple(rmq_parts), rmq_block=block, xs=xs,
-                tli=tli, samp=samp)
+                tli=tli, samp=samp, idt=idt)
 
 
 # --------------------------------------------------------------------------
@@ -543,11 +577,36 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
     return l, r, q
 
 
+def _verify_match(rp, rlen, ver_row, sa_slab, xs_l, r_rank, *,
+                  Lmax: int, n: int, s: int, p: int, cap: int):
+    """Text verification of one candidate row per pattern: gather the
+    pattern-length window of the block-distributed text starting at
+    SA[ver_row] and compare (shared by the TLLT and TLDT query kernels)."""
+    sal = sa_slab[jnp.clip(ver_row, 0, cap - 1)]
+    M = ver_row.shape[0]
+    pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
+    in_text = pos < n
+    flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
+    ch_dest = (flatpos // s).astype(jnp.int32)
+
+    def gather(recv2, recv2_valid):
+        (q2,) = recv2
+        base = jnp.asarray(r_rank, q2.dtype) * s
+        return (xs_l[jnp.clip(q2 - base, 0, s - 1).astype(jnp.int32)],)
+
+    (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
+    got = got.reshape(M, Lmax)
+    okc = jnp.where(in_pat, in_text & (got == rp), True)
+    return jnp.all(okc, axis=1)
+
+
 def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
                        tab_v, tab_a, xs_l, *,
                        b: int, Lmax: int, p: int, n: int, s: int, k: int,
                        bits: int, cap: int, rmq_block: int,
-                       verify: bool = True, stats: bool = False):
+                       verify: bool = True, stats: bool = False,
+                       idt=jnp.int32):
     r_rank = lax.axis_index(AXIS).astype(jnp.int32)
 
     lo, hi = _tli_lookup(mat_l, lens_l, table, k, bits)
@@ -561,8 +620,9 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
         rp, rlen, rlo, rhi = recv
         begin = begins[r_rank]
         need_q = recv_valid & (rlen > k) & (rlo < rhi)
-        l_loc = jnp.clip(rlo - begin, 0, cap - 1)
-        r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1)
+        # in-slab coordinates are int32 (cap < 2^31) even for int64 indexes
+        l_loc = jnp.clip(rlo - begin, 0, cap - 1).astype(jnp.int32)
+        r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1).astype(jnp.int32)
         search = need_q & (l_loc < r_loc)
         fl, fr, _ = _blind_search(rp, rlen, l_loc, r_loc, search,
                                   sa_slab, lcp_slab, lc_slab, rmq, cap)
@@ -570,36 +630,19 @@ def _bulk_locate_local(mat_l, lens_l, table, begins, sa_slab, lcp_slab, lc_slab,
         fr = jnp.where(search, fr, r_loc)
 
         if verify:
-            # verification: compare the pattern to the distributed text at
-            # SA[fl]
-            sal = sa_slab[jnp.clip(fl, 0, cap - 1)]
-            M = fl.shape[0]
-            pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-            want_ch = rp
-            in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
-            in_text = pos < n
-            flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
-            ch_dest = flatpos // s
-
-            def gather(recv2, recv2_valid):
-                (q2,) = recv2
-                return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
-
-            (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
-            got = got.reshape(M, Lmax)
-            okc = jnp.where(in_pat, in_text & (got == want_ch), True)
-            match = jnp.all(okc, axis=1)
+            match = _verify_match(rp, rlen, fl, sa_slab, xs_l, r_rank,
+                                  Lmax=Lmax, n=n, s=s, p=p, cap=cap)
         else:
             match = jnp.ones_like(need_q)
 
         out_l = begin + fl
         out_r = jnp.where(need_q & match, begin + fr + 1, out_l)
-        out_l = jnp.where(need_q, out_l, 0)
-        out_r = jnp.where(need_q, out_r, 0)
+        out_l = jnp.where(need_q, out_l, 0).astype(idt)
+        out_r = jnp.where(need_q, out_r, 0).astype(idt)
         return (out_l, out_r)
 
     al, ar = route_apply((mat_l, lens_l, lo, hi), dest, answer,
-                         (jnp.int32, jnp.int32), p)
+                         (idt, idt), p)
     out_l = jnp.where(need, al, lo)
     out_r = jnp.where(need, ar, hi)
     if stats:
@@ -640,7 +683,7 @@ def write_desa(desa: DESA, prefix: str) -> None:
 
 def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
               tli_bits: int = 24, tli: str = "tllt",
-              maxsize: int | None = None) -> DESA:
+              maxsize: int | None = None, force_int64: bool = False) -> DESA:
     """Load a persisted DESA (needs the original text, as the reference's
     ``desa-main -l`` does); works on any mesh size.  ``tli``/``maxsize``
     select the top-level index rebuilt on load (the files persist only
@@ -656,14 +699,18 @@ def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,
     if len(sa) != n:
         raise ValueError(f"index built for n={len(sa)}, text has n={n}")
     off = N - n
+    idt = jnp.int64 if force_int64 else cfg_mod.index_dtype(N)
+    np_idt = np.dtype(jnp.dtype(idt).name)
 
-    def pad_block(a):
-        full = np.zeros(N, np.int32)
-        full[off:] = a.astype(np.int32)
+    def pad_block(a, dt):
+        full = np.zeros(N, dt)
+        full[off:] = a.astype(dt)
         return jax.device_put(full, block_sharding(mesh))
 
-    return _assemble_desa(xs, alpha, n, N, pad_block(lcp), pad_block(sa),
-                          pad_block(lc), mesh, tli_bits, tli, maxsize)
+    return _assemble_desa(xs, alpha, n, N, pad_block(lcp, np_idt),
+                          pad_block(sa, np_idt), pad_block(lc, np.int32),
+                          mesh, tli_bits, tli, maxsize,
+                          force_int64=force_int64)
 
 
 def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
@@ -673,7 +720,8 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
                             xs_l, *, b: int, Lmax: int, p: int, n: int,
                             s: int, cap: int, rmq_block: int, m_samp: int,
                             M_samp: int, samp_block: int,
-                            verify: bool = True, stats: bool = False):
+                            verify: bool = True, stats: bool = False,
+                            idt=jnp.int32):
     """bulk_locate with the TLDT top-level index (reference ``tldt::lookup``,
     include/tldt.hpp:466-470): the replicated sampled-LCP blind search runs
     at the pattern's origin shard; if it already consumed the whole pattern
@@ -703,8 +751,9 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
         begin = begins[r_rank]
         rfin = rfin != 0
         need_q = recv_valid & (rlen > 0) & (rlo < rhi)
-        l_loc = jnp.clip(rlo - begin, 0, cap - 1)
-        r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1)
+        # in-slab coordinates are int32 (cap < 2^31) even for int64 indexes
+        l_loc = jnp.clip(rlo - begin, 0, cap - 1).astype(jnp.int32)
+        r_loc = jnp.clip(rhi - 1 - begin, 0, cap - 1).astype(jnp.int32)
         search = need_q & ~rfin & (l_loc < r_loc)
         fl, fr, _ = _blind_search(rp, rlen, l_loc, r_loc, search,
                                   sa_slab, lcp_slab, lc_slab, rmq, cap)
@@ -713,35 +762,21 @@ def _bulk_locate_tldt_local(mat_l, lens_l, off_ext, samp_lcp, samp_lc,
 
         if verify:
             ver_row = jnp.where(rfin, l_loc, fl)
-            sal = sa_slab[jnp.clip(ver_row, 0, cap - 1)]
-            M = fl.shape[0]
-            pos = sal[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-            in_pat = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < rlen[:, None]
-            in_text = pos < n
-            flatpos = jnp.clip(jnp.where(in_text, pos, 0), 0, s * p - 1).reshape(-1)
-            ch_dest = flatpos // s
-
-            def gather(recv2, recv2_valid):
-                (q2,) = recv2
-                return (xs_l[jnp.clip(q2 - r_rank * s, 0, s - 1)],)
-
-            (got,) = route_apply((flatpos,), ch_dest, gather, (jnp.int32,), p)
-            got = got.reshape(M, Lmax)
-            okc = jnp.where(in_pat, in_text & (got == rp), True)
-            match = jnp.all(okc, axis=1)
+            match = _verify_match(rp, rlen, ver_row, sa_slab, xs_l, r_rank,
+                                  Lmax=Lmax, n=n, s=s, p=p, cap=cap)
         else:
             match = jnp.ones_like(need_q)
 
         out_l = jnp.where(rfin, rlo, begin + fl)
         out_r_full = jnp.where(rfin, rhi, begin + fr + 1)
         out_r = jnp.where(need_q & match, out_r_full, out_l)
-        out_l = jnp.where(need_q, out_l, 0)
-        out_r = jnp.where(need_q, out_r, 0)
+        out_l = jnp.where(need_q, out_l, 0).astype(idt)
+        out_r = jnp.where(need_q, out_r, 0).astype(idt)
         return (out_l, out_r)
 
     al, ar = route_apply(
         (mat_l, lens_l, glo, ghi, finished.astype(jnp.int32)), dest, answer,
-        (jnp.int32, jnp.int32), p)
+        (idt, idt), p)
     # unrouted patterns have an empty lookup range -> empty result
     out_l = jnp.where(need, al, glo)
     out_r = jnp.where(need, ar, glo)

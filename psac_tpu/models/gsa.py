@@ -166,14 +166,14 @@ class _GsaBuilder(_Builder):
             self._step_cache[q] = jax.jit(fn)
         return self._step_cache[q]
 
-    def _gstep_local(self, isa_l, eos_l, *rest, q: int):
+    def _gstep_local(self, isa_l, eos_l, *rest, q):
         s, p, N = self.s, self.p, self.N
         if self.with_lcp:
             lcp_l, d = rest
         else:
             (d,) = rest
         gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
-        b2 = global_shift_left(isa_l, d, q, p)
+        b2 = self._shift(isa_l, d, q)
         b2 = jnp.where(gidx + d < eos_l, b2, 0)
         b_s, b2_s, sa, eos_s = dist_sort_local((isa_l, b2, gidx, eos_l),
                                                num_keys=3, p=p)
@@ -203,118 +203,50 @@ class _GsaBuilder(_Builder):
         return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active, eos_s) + counts
 
 
-    # ------------- fully fused GSA construction (single shard) -------------
+    # ------------- fully fused GSA construction (any shard count) ----------
 
-    def gfused_full(self, m_cap: int, m_cap2: int):
-        key = ("gfused_full", m_cap, m_cap2)
+    def gfused_full(self, m_cap: int, m_cap2: int, resolve_div: int = 32):
+        key = ("gfused_full", m_cap, m_cap2, resolve_div)
         if key not in self._step_cache:
-            assert self.p == 1
             x, r = P(AXIS), P()
-            nout = 4 if self.with_lcp else 3  # isa, sa, [lcp], brow
+            nout = 5 if self.with_lcp else 4
             fn = jax.shard_map(
                 functools.partial(self._gfused_full_local, m_cap=m_cap,
-                                  m_cap2=m_cap2),
+                                  m_cap2=m_cap2, resolve_div=resolve_div),
                 mesh=self.mesh, in_specs=(x, x),
                 out_specs=(x,) * nout + (r,))
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
-    def _gfused_full_local(self, codes_l, eos_l, *, m_cap: int, m_cap2: int):
+    def _gfused_full_local(self, codes_l, eos_l, *, m_cap: int, m_cap2: int,
+                           resolve_div: int = 32):
         """One dispatch: masked k-mer init -> dense eos-masked doubling
-        (lax.while_loop, traced d) -> eos-aware two-stage sparse tail
-        (capacity m_cap, recompacted to m_cap2 once converged down).
-        Single-shard only (the dense shift is a local dynamic slice)."""
-        from jax import lax as _lax
-
-        N = self.N
+        (shared ``_fused_drive`` while_loop, traced d) -> eos-aware
+        two-stage sparse tail."""
         idt = self.idt
+        m_pad = max(8, self.s // resolve_div)
         outs = self._ginit_local(codes_l, eos_l)
         if self.with_lcp:
             isa, sa, lcp, brow, active, eos_row, ub, ue = outs
         else:
             isa, sa, brow, active, eos_row, ub, ue = outs
-            lcp = jnp.zeros((self.s,), idt)
-        d0 = jnp.asarray(self.k1 + self.k2, idt)
-        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
-        cap_t = jnp.asarray(m_cap, idt)
-        cap2_t = jnp.asarray(m_cap2, idt)
+            lcp = None
 
-        def dcond(st):
-            _, _, _, _, _, _, ub, ue, d, it = st
-            return (ub > 0) & (ue > cap_t) & (it < max_iters)
-
-        def dbody(st):
-            isa, sa, lcp, brow, active, eos_row, ub, ue, d, it = st
+        def dense_step(isa, lcp, extra, d):
             if self.with_lcp:
                 isa, sa, lcp, qkey, lq, rq, _nq, brow, active, eos_row, \
-                    ub, ue = self._gstep_local(isa, eos_l, lcp, d, q=0)
-                dz = jnp.broadcast_to(d.astype(self.idt), qkey.shape)
+                    ub, ue = self._gstep_local(isa, eos_l, lcp, d, q=None)
+                dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
                 lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
-                                                m_pad=max(8, self.s // 32))
+                                                m_pad=m_pad)
             else:
                 isa, sa, brow, active, eos_row, ub, ue = \
-                    self._gstep_local(isa, eos_l, d, q=0)
-            return (isa, sa, lcp, brow, active, eos_row, ub, ue, d * 2,
-                    it + 1)
+                    self._gstep_local(isa, eos_l, d, q=None)
+            return isa, sa, lcp, brow, active, (eos_row,), ub, ue, d * 2
 
-        st = (isa, sa, lcp, brow, active, eos_row, ub, ue, d0, jnp.int32(0))
-        isa, sa, lcp, brow, active, eos_row, ub, ue, d, _ = _lax.while_loop(
-            dcond, dbody, st)
-
-        fits = (ue > 0) & (ue <= cap_t)
-
-        def tail_loop(ts, cap, stop):
-            def cond(t_):
-                return (t_[-1] > stop) & (t_[-2] < max_iters)
-
-            def body(t_):
-                cs, cb, ce, isa, sa, lcp, dd, it, _ = t_
-                if self.with_lcp:
-                    cs, cb, ce, isa, sa, lcp, tue = self._tail_step_local(
-                        cs, cb, ce, isa, sa, lcp, dd, m_cap=cap)
-                else:
-                    cs, cb, ce, isa, sa, tue = self._tail_step_local(
-                        cs, cb, ce, isa, sa, dd, m_cap=cap)
-                dd = jnp.minimum(dd * 2, jnp.asarray(N, idt))
-                return (cs, cb, ce, isa, sa, lcp, dd, it + 1, tue)
-
-            return _lax.while_loop(cond, body, ts)
-
-        def run_tail(args):
-            isa, sa, lcp, d = args
-
-            def big(args2):
-                isa, sa, lcp, d = args2
-                cs, cb, ce, _t = self._tail_enter_local(
-                    sa, brow, active, eos_row, m_cap=m_cap)
-                ts = (cs, cb, ce, isa, sa, lcp, d, jnp.int32(0), ue)
-                cs, cb, ce, isa, sa, lcp, d, _, ue2 = tail_loop(
-                    ts, m_cap, cap2_t)
-                cs2, cb2, ce2 = self._tail_recompact_local(
-                    (cs, cb, ce), m_from=m_cap, m_to=m_cap2)
-                return cs2, cb2, ce2, isa, sa, lcp, d, ue2
-
-            def small(args2):
-                isa, sa, lcp, d = args2
-                cs2, cb2, ce2, _t = self._tail_enter_local(
-                    sa, brow, active, eos_row, m_cap=m_cap2)
-                return cs2, cb2, ce2, isa, sa, lcp, d, ue
-
-            cs2, cb2, ce2, isa, sa, lcp, d, ue2 = _lax.cond(
-                ue > cap2_t, big, small, (isa, sa, lcp, d))
-            ts = (cs2, cb2, ce2, isa, sa, lcp, d, jnp.int32(0), ue2)
-            ts = tail_loop(ts, m_cap2, jnp.asarray(0, idt))
-            return ts[3], ts[4], ts[5], ts[-1]
-
-        def no_tail(args):
-            isa, sa, lcp, _ = args
-            return isa, sa, lcp, ue
-
-        isa, sa, lcp, ue_out = _lax.cond(fits, run_tail, no_tail,
-                                         (isa, sa, lcp, d))
-        stats = jnp.stack([ub, ue_out, fits.astype(idt)])
-        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
-        return base + (brow, stats)
+        return self._fused_drive(
+            (isa, sa, lcp, brow, active, (eos_row,), ub, ue),
+            dense_step, m_cap=m_cap, m_cap2=m_cap2)
 
 
 _GSA_BUILDER_CACHE: dict = {}
@@ -422,19 +354,19 @@ def build_gsa_device(strings, mesh=None,
             mesh, N, k1, k2, alpha.bits_per_char, config.construct_lcp)
     b = _GSA_BUILDER_CACHE[key]
 
-    if config.fused and b.p == 1:
+    if config.fused:
         # one dispatch for the whole construction (init + dense while_loop
-        # + eos-aware two-stage tail); a single (3,) readback
-        m_cap2 = max(8, min(N, _pow2ceil(max(256, N // 1024))))
+        # + eos-aware two-stage tail); a single (4,) readback
+        m_cap2 = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
         m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
         fouts = b.gfused_full(m_cap_f, m_cap2)(xs, eos)
         if config.construct_lcp:
-            isa, sa, lcp, brow, stats = fouts
+            isa, sa, lcp, brow, _active, stats = fouts
         else:
-            isa, sa, brow, stats = fouts
+            isa, sa, brow, _active, stats = fouts
             lcp = None
-        ub_f, ue_f, tail_ran = (int(v) for v in
-                                np.asarray(jax.device_get(stats)))
+        ub_f, ue_f, tail_ran, _d_out = (int(v) for v in
+                                        np.asarray(jax.device_get(stats)))
         if ue_f == 0:
             if config.construct_lcp:
                 lcp = _gsa_tiefix(lcp, sa, eos, b, mesh, p, N, config)
@@ -485,8 +417,10 @@ def build_gsa_device(strings, mesh=None,
             nq, ue = (int(v) for v in
                       np.asarray(jax.device_get(jnp.stack([nq, ue]))))
             if nq > 0:
+                from psac_tpu.models.suffix_array import resolve_with_retry
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
-                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.int32(d))
+                lcp = resolve_with_retry(b, m_pad, lcp, qkey, lq, rq,
+                                         jnp.int32(d))
         else:
             isa, sa, brow, active, eos_row, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
             ue = int(ue)

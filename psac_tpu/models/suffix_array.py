@@ -53,6 +53,7 @@ from psac_tpu.parallel.collectives import (
     global_cummax,
     global_index_base,
     global_shift_left,
+    global_shift_left_dyn,
     halo_from_left,
     halo_from_right,
     shard_minima,
@@ -257,13 +258,21 @@ class _Builder:
         isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         return (isa_new, sa, b_new, active) + counts
 
-    def _step_local(self, isa_l, *rest, q: int):
+    def _shift(self, x, d, q):
+        """Doubling shift: static shard-distance ``q`` selects the 2-ppermute
+        pattern (host-driven loop); ``q=None`` uses the traced-distance
+        ladder (fused while_loop)."""
+        if q is None:
+            return global_shift_left_dyn(x, d, self.p)
+        return global_shift_left(x, d, q, self.p)
+
+    def _step_local(self, isa_l, *rest, q):
         s, p, N = self.s, self.p, self.N
         if self.with_lcp:
             lcp_l, d = rest
         else:
             (d,) = rest
-        b2 = global_shift_left(isa_l, d, q, p)
+        b2 = self._shift(isa_l, d, q)
         gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(self.idt)
         b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
@@ -289,8 +298,17 @@ class _Builder:
 
     # ---------------- LCP resolve (bulk RMQ + scatter) ----------------
 
-    def resolve(self, m_pad: int):
-        if m_pad not in self._resolve_cache:
+    def resolve(self, m_pad: int, capscale: int | None = None):
+        """Host-path LCP resolve: compact queries, bulk-RMQ, scatter back.
+
+        ``capscale`` bounds the routed exchange buffers to
+        ~capscale*m_pad/p per destination (reference routes O(m) via ragged
+        all2allv, ``bulk_rma.hpp:112-135``); the returned overflow count is
+        nonzero if the destination skew exceeded it and the caller must
+        retry with ``capscale=None`` (cap = m, never overflows).
+        """
+        key = (m_pad, capscale)
+        if key not in self._resolve_cache:
             x = P(AXIS)
 
             # compact by one distributed 1-key sort (INF keys sink to
@@ -307,18 +325,28 @@ class _Builder:
                 ls = jax.sharding.reshard(ls[:m_pad], self.sharded)
                 rs = jax.sharding.reshard(rs[:m_pad], self.sharded)
                 solve = jax.shard_map(
-                    functools.partial(self._resolve_local),
-                    mesh=self.mesh, in_specs=(x, x, x, x, P()), out_specs=x)
+                    functools.partial(self._resolve_local,
+                                      capscale=capscale),
+                    mesh=self.mesh, in_specs=(x, x, x, x, P()),
+                    out_specs=(x, P()))
                 return solve(lcp, ks, ls, rs, d)
 
-            self._resolve_cache[m_pad] = jax.jit(impl)
-        return self._resolve_cache[m_pad]
+            self._resolve_cache[key] = jax.jit(impl)
+        return self._resolve_cache[key]
 
     def _resolve_fused_local(self, lcp_l, qkey, lq, rq, dz, *, m_pad: int):
-        """In-program resolve (p==1): one local 1-key compaction sort (INF
-        keys sink), row-window RMQ over m_pad-sized chunks, scatter-back.
-        ``dz`` is the per-query additive distance (j*d for the j-th
-        L-pling column; the plain doubling step passes a broadcast d).
+        """In-program LCP resolve: one local 1-key compaction sort per shard
+        (INF keys sink), then m_pad-sized chunks answered against a
+        local/distributed RMQ and scattered back.  ``dz`` is the per-query
+        additive distance (j*d for the j-th L-pling column; the plain
+        doubling step passes a broadcast d).
+
+        At p == 1 a chunk is a row-window RMQ batch plus a local scatter; at
+        p > 1 each chunk runs the left/middle/right distributed RMQ and a
+        routed scatter with capacity = the chunk size (bounded buffers, no
+        overflow possible since cap == m).  The chunk loop runs to the MAX
+        per-shard query count (a pmax) so every shard participates in each
+        chunk's collectives; drained shards pass all-invalid chunks.
 
         All chunks are answered against the PRE-resolve LCP state (the RMQ
         is built once), matching the reference's bulk answer timing
@@ -326,11 +354,13 @@ class _Builder:
         post-zerocase array).  A duplicate chunk caused by the final
         dynamic-slice clamp rewrites identical values (idempotent).
         """
-        s = self.s
+        s, p = self.s, self.p
         idt = self.idt
-        nq = jnp.sum((qkey != self.INF).astype(idt))
+        cnt = jnp.sum((qkey != self.INF).astype(idt))
+        nq = lax.pmax(cnt, AXIS) if p > 1 else cnt
         ks, ls, rs, ds = lax.sort((qkey, lq, rq, dz), num_keys=1)
         rmq = build_local_rmq(lcp_l, with_small=False)
+        smins = shard_minima(lcp_l, p) if p > 1 else None
 
         def cond(st):
             return st[0].astype(idt) * m_pad < nq
@@ -343,14 +373,23 @@ class _Builder:
             r_c = lax.dynamic_slice_in_dim(rs, off, m_pad)
             d_c = lax.dynamic_slice_in_dim(ds, off, m_pad)
             valid = kq_c != self.INF
-            lo = jnp.clip(jnp.where(valid, l_c, 0), 0, s - 1)
-            hi = jnp.clip(jnp.where(valid, r_c, 0), 0, s - 1)
-            mins = query_local_rmq(rmq, lo, hi)
-            newv = d_c.astype(idt) + mins
-            row = jnp.where(valid, kq_c, jnp.asarray(s, idt))
-            padded = jnp.concatenate(
-                [lcp_cur, jnp.zeros((1,), lcp_cur.dtype)])
-            lcp_cur = padded.at[row].set(jnp.where(valid, newv, 0))[:s]
+            if p == 1:
+                lo = jnp.clip(jnp.where(valid, l_c, 0), 0, s - 1)
+                hi = jnp.clip(jnp.where(valid, r_c, 0), 0, s - 1)
+                mins = query_local_rmq(rmq, lo, hi)
+                newv = d_c.astype(idt) + mins
+                row = jnp.where(valid, kq_c, jnp.asarray(s, idt))
+                padded = jnp.concatenate(
+                    [lcp_cur, jnp.zeros((1,), lcp_cur.dtype)])
+                lcp_cur = padded.at[row].set(jnp.where(valid, newv, 0))[:s]
+            else:
+                mins = bulk_rmq_local(rmq, smins,
+                                      jnp.where(valid, l_c, 0),
+                                      jnp.where(valid, r_c, 0),
+                                      valid, s, p)
+                newv = d_c.astype(idt) + mins
+                (lcp_cur,) = route_scatter(kq_c, (newv,), (lcp_cur,),
+                                           valid, s, p)
             return (c + 1, lcp_cur)
 
         _, lcp_new = lax.while_loop(cond, body, (jnp.int32(0), lcp_l))
@@ -358,7 +397,7 @@ class _Builder:
 
     # ---------------- prefix-quadrupling dense step (with LCP) ----------
 
-    def _step4_local(self, isa_l, *rest, qs=(0, 0, 0)):
+    def _step4_local(self, isa_l, *rest, qs):
         """One prefix-quadrupling iteration WITH interleaved LCP: sort by
         (B, B@d, B@2d, B@3d, i); a split at first-differing column j gets
         LCP = j*d + min-range between the two column-j buckets (the same
@@ -373,9 +412,10 @@ class _Builder:
         else:
             (d,) = rest
         gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
-        b1 = global_shift_left(isa_l, d, qs[0], p)
-        b2 = global_shift_left(isa_l, 2 * d, qs[1], p)
-        b3 = global_shift_left(isa_l, 3 * d, qs[2], p)
+        q1, q2, q3 = qs if qs is not None else (None, None, None)
+        b1 = self._shift(isa_l, d, q1)
+        b2 = self._shift(isa_l, 2 * d, q2)
+        b3 = self._shift(isa_l, 3 * d, q3)
         b0s, b1s, b2s, b3s, sa = dist_sort_local(
             (isa_l, b1, b2, b3, gidx), num_keys=5, p=p)
 
@@ -408,23 +448,62 @@ class _Builder:
         return (isa_new, sa, lcp_l, qkey, lq, rq, dz, nq) + \
             (b_new, active) + counts
 
+    def _redistribute_compact(self, bufs: tuple, cnt, fills, m_cap: int):
+        """Block-redistribute per-shard compacted prefixes into (m_cap,)
+        globally compact buffers (sl = m_cap/p slots per shard).  ``bufs``
+        are per-shard local arrays whose first ``cnt`` entries are valid and
+        in global row order (shard-major), so the global compact position of
+        shard r's local slot t is carry_r + t."""
+        p = self.p
+        idt = self.idt
+        sl = m_cap // p
+        llen = bufs[0].shape[0]
+        counts = lax.all_gather(cnt, AXIS)  # (p,)
+        total = lax.psum(cnt, AXIS)  # psum is vma-replicated (all_gather isn't)
+        i = lax.axis_index(AXIS)
+        carries = jnp.concatenate(
+            [jnp.zeros((1,), idt), jnp.cumsum(counts).astype(idt)])
+        gath = [lax.all_gather(bf, AXIS) for bf in bufs]  # (p, llen) each
+        g = i.astype(jnp.int32) * sl + jnp.arange(sl, dtype=jnp.int32)
+        owner = jnp.clip(
+            jnp.searchsorted(carries, g, side="right").astype(jnp.int32) - 1,
+            0, p - 1)
+        slot = jnp.clip(g - carries[owner], 0, llen - 1).astype(jnp.int32)
+        valid = g < jnp.minimum(total, m_cap)
+        outs = tuple(jnp.where(valid, ga[owner, slot], jnp.asarray(f, ga.dtype))
+                     for ga, f in zip(gath, fills))
+        return outs, total
+
     def _tail_recompact_local(self, bufs: tuple, *, m_from: int, m_to: int):
         """Shrink the compact tail buffers once the active count fits a
         smaller capacity (static tail shapes scale every tail sort/route
         with the capacity, so converged-down phases should not keep paying
-        the entry capacity).  Single-shard only."""
+        the entry capacity).  Each shard extracts its valid prefix locally
+        (order preserved); at p > 1 the prefixes are then block-
+        redistributed over the smaller capacity."""
+        p = self.p
+        sl_from = m_from // p
         cb = bufs[1]
         valid = cb != self.INF
+        le = min(sl_from, m_to)
         c_l = jnp.cumsum(valid.astype(jnp.int32))
-        tq = jnp.arange(1, m_to + 1, dtype=jnp.int32)
+        tq = jnp.arange(1, le + 1, dtype=jnp.int32)
         idx = jnp.searchsorted(c_l, tq, side="left").astype(jnp.int32)
         ok = tq <= c_l[-1]
-        safe = jnp.clip(idx, 0, m_from - 1)
+        safe = jnp.clip(idx, 0, sl_from - 1)
         fills = (0, self.INF, 0)
-        return tuple(jnp.where(ok, b[safe], jnp.asarray(f, b.dtype))
-                     for b, f in zip(bufs, fills))
+        loc = tuple(jnp.where(ok, b[safe], jnp.asarray(f, b.dtype))
+                    for b, f in zip(bufs, fills))
+        if p == 1:
+            return loc
+        cnt = jnp.sum(valid.astype(self.idt))
+        outs, _total = self._redistribute_compact(
+            loc, cnt, fills[:len(bufs)], m_to)
+        return outs
 
-    def _resolve_local(self, lcp_l, kq, lq, rq, d):
+    def _resolve_local(self, lcp_l, kq, lq, rq, d, capscale=None):
+        from psac_tpu.parallel.route import cap_for
+
         s, p = self.s, self.p
         # row-window few-query mode: random gathers into the (log b, s)
         # in-block tables run ~1us/row at multi-M-element footprints, while
@@ -432,10 +511,13 @@ class _Builder:
         rmq = build_local_rmq(lcp_l, with_small=False)
         smins = shard_minima(lcp_l, p)
         valid = kq != self.INF
-        mins = bulk_rmq_local(rmq, smins, lq, rq, valid, s, p)
+        cap = cap_for(kq.shape[0], p, capscale)
+        mins, ovf_q = bulk_rmq_local(rmq, smins, lq, rq, valid, s, p,
+                                     cap=cap, with_overflow=True)
         newval = (d.astype(self.idt) + mins)
-        (lcp_new,) = route_scatter(kq, (newval,), (lcp_l,), valid, s, p)
-        return lcp_new
+        (lcp_new,), ovf_s = route_scatter(kq, (newval,), (lcp_l,), valid,
+                                          s, p, cap=cap, with_overflow=True)
+        return lcp_new, ovf_q + ovf_s
 
     # ---------------- sparse tail ("bucket chaising") ----------------
     #
@@ -480,10 +562,7 @@ class _Builder:
         """
         s, p = self.s, self.p
         idt = self.idt
-        sl = m_cap // p
         cnt = jnp.sum(active_l.astype(idt))
-        counts = lax.all_gather(cnt, AXIS)  # (p,)
-        total = lax.psum(cnt, AXIS)  # psum is vma-replicated (all_gather isn't)
         vals = (sa_l, brow_l) + (() if eos_row is None else (eos_row,))
         fills = (0, self.INF) + (() if eos_row is None else (0,))
         if m_cap >= s // 16:
@@ -514,169 +593,128 @@ class _Builder:
             bufs = [jnp.where(ok, v[safe], jnp.asarray(f, v.dtype))
                     for v, f in zip(vals, fills)]
         if p == 1:
+            total = lax.psum(cnt, AXIS)  # vma-replicated for the P() output
             return tuple(bufs) + (total,)
-        # redistribute: shard r's local slot t is global compact position
-        # carry_r + t; compact slots are block-distributed sl per shard
-        i = lax.axis_index(AXIS)
-        carries = jnp.concatenate(
-            [jnp.zeros((1,), idt), jnp.cumsum(counts).astype(idt)])
-        gath = [lax.all_gather(bf, AXIS) for bf in bufs]  # (p, m_cap) each
-        g = i.astype(jnp.int32) * sl + jnp.arange(sl, dtype=jnp.int32)
-        owner = jnp.clip(
-            jnp.searchsorted(carries, g, side="right").astype(jnp.int32) - 1,
-            0, p - 1)
-        slot = jnp.clip(g - carries[owner], 0, m_cap - 1).astype(jnp.int32)
-        valid = g < jnp.minimum(total, m_cap)
-        outs = [jnp.where(valid, ga[owner, slot], jnp.asarray(f, ga.dtype))
-                for ga, f in zip(gath, fills)]
-        return tuple(outs) + (total,)
+        outs, total = self._redistribute_compact(tuple(bufs), cnt, fills,
+                                                 m_cap)
+        return outs + (total,)
 
-    # ---------------- fused one-dispatch construction ----------------
+    # ---------------- fully fused construction (any shard count) --------
     #
     # Through a remote-device transport every host<->device round trip costs
-    # tens of ms; the host-driven loop pays one per readback.  For the common
-    # case (k-mer init already separates all but a few suffixes) the whole
-    # construction fuses into ONE dispatched program: init -> cond(tail fits)
-    # -> while_loop(tail steps), with a single (3,) stats readback at the end.
-
-    def fused(self, m_cap: int):
-        key = ("fused", m_cap)
-        if key not in self._step_cache:
-            x, r = P(AXIS), P()
-            nout = 5 if self.with_lcp else 4
-            fn = jax.shard_map(
-                functools.partial(self._fused_local, m_cap=m_cap),
-                mesh=self.mesh, in_specs=(x, r),
-                out_specs=(x,) * nout + (r,))
-            self._step_cache[key] = jax.jit(fn)
-        return self._step_cache[key]
-
-    def _fused_local(self, codes_l, n_real, *, m_cap: int):
-        N = self.N
-        outs = self._init_local(codes_l, n_real)
-        if self.with_lcp:
-            isa, sa, lcp, brow, active, ub, ue = outs
-        else:
-            isa, sa, brow, active, ub, ue = outs
-            lcp = jnp.zeros((self.s,), self.idt)  # unused placeholder
-        d0 = jnp.asarray(self.k1 + self.k2, self.idt)
-        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
-        fits = (ue > 0) & (ue <= jnp.asarray(m_cap, self.idt))
-
-        def run_tail(args):
-            isa, sa, lcp = args
-            cs, cb, _total = self._tail_enter_local(sa, brow, active,
-                                                    m_cap=m_cap)
-
-            def cond(st):
-                return (st[-1] > 0) & (st[-2] < max_iters)
-
-            def body(st):
-                if self.with_lcp:
-                    cs, cb, isa, sa, lcp, d, it, _ = st
-                    cs, cb, isa, sa, lcp, ue = self._tail_step_local(
-                        cs, cb, isa, sa, lcp, d, m_cap=m_cap)
-                else:
-                    cs, cb, isa, sa, lcp, d, it, _ = st
-                    cs, cb, isa, sa, ue = self._tail_step_local(
-                        cs, cb, isa, sa, d, m_cap=m_cap)
-                d = jnp.minimum(d * 2, jnp.asarray(N, self.idt))
-                return (cs, cb, isa, sa, lcp, d, it + 1, ue)
-
-            st = (cs, cb, isa, sa, lcp, d0, jnp.int32(0), ue)
-            st = lax.while_loop(cond, body, st)
-            return st[2], st[3], st[4], st[-1]
-
-        def no_tail(args):
-            isa, sa, lcp = args
-            return isa, sa, lcp, ue
-
-        isa, sa, lcp, ue_out = lax.cond(fits, run_tail, no_tail,
-                                        (isa, sa, lcp))
-        stats = jnp.stack([ub, ue_out, fits.astype(self.idt)])
-        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
-        return base + (brow, active, stats)
-
-    # ---------------- fully fused construction (single shard) ----------
-    #
-    # At p == 1 the doubling shift is a local dynamic slice, so the whole
-    # dense phase runs as a lax.while_loop with the shift distance d TRACED
-    # (multi-shard meshes need a static shard-distance per ppermute pattern,
-    # so they keep the host-driven dense loop).  One dispatch covers k-mer
-    # init -> dense doubling (row-aligned LCP resolve, no compaction or
-    # scatter) -> sparse tail, with a single (3,) stats readback.
+    # tens of ms; the host-driven loop pays one per iteration.  The whole
+    # construction therefore runs as ONE dispatched program at every p:
+    # k-mer init -> dense L-pling lax.while_loop with the shift distance d
+    # TRACED (p == 1: a local dynamic slice; p > 1: the conditional
+    # power-of-two ppermute ladder, ``global_shift_left_dyn``) and the LCP
+    # resolve chunked in-program -> two-stage sparse bucket-chaising tail —
+    # with a single (4,) stats readback.  The reference's entire hot loop is
+    # likewise rank-native with no coordinator
+    # (``include/suffix_array.hpp:365-486``).
 
     def fused_full(self, m_cap: int, m_cap2: int, factor: int = 4,
                    resolve_div: int = 32):
         key = ("fused_full", m_cap, m_cap2, factor, resolve_div)
         if key not in self._step_cache:
-            assert self.p == 1, "fused_full is the single-shard path"
             x, r = P(AXIS), P()
-            nout = 5 if self.with_lcp else 4
+            nout = 6 if self.with_lcp else 5
             fn = jax.shard_map(
                 functools.partial(self._fused_full_local, m_cap=m_cap,
                                   m_cap2=m_cap2, factor=factor,
                                   resolve_div=resolve_div),
                 mesh=self.mesh, in_specs=(x, r),
-                out_specs=(x,) * nout + (r,))
+                out_specs=(x,) * (nout - 1) + (r,))
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
     def _fused_full_local(self, codes_l, n_real, *, m_cap: int,
                           m_cap2: int, factor: int = 4,
                           resolve_div: int = 32):
-        """init -> dense L-pling while_loop -> two-stage sparse tail.
-
-        The tail's static capacity scales every tail sort/route, so it runs
-        in two stages: entry at ``m_cap`` (the dense loop hands over as soon
-        as the active set fits it), then a recompaction to ``m_cap2`` once
-        the active count drops — converging corpora (k-mer init separates
-        almost everything) enter at ``m_cap2`` directly and never pay the
-        big stage.
-        """
-        N = self.N
+        """init -> dense L-pling while_loop -> two-stage sparse tail."""
         idt = self.idt
-        outs = self._init_local(codes_l, n_real)
-        if self.with_lcp:
-            isa, sa, lcp, brow, active, ub, ue = outs
-        else:
-            isa, sa, brow, active, ub, ue = outs
-            lcp = jnp.zeros((self.s,), idt)
-        d0 = jnp.asarray(self.k1 + self.k2, idt)
-        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
-        cap_t = jnp.asarray(m_cap, idt)
-        cap2_t = jnp.asarray(m_cap2, idt)
         # small chunks: early iterations (few queries) pay one small chunk
         # instead of a quarter-array one; late iterations loop a few times
         # (measured on the 16 MiB repetitive corpus: s/32 1.86s, s/16
         # 1.93s, s/8 2.40s, s/4 3.26s)
         m_pad = max(8, self.s // resolve_div)
+        outs = self._init_local(codes_l, n_real)
+        if self.with_lcp:
+            isa, sa, lcp, brow, active, ub, ue = outs
+        else:
+            isa, sa, brow, active, ub, ue = outs
+            lcp = None
 
-        def dcond(st):
-            _, _, _, _, _, ub, ue, d, it = st
-            return (ub > 0) & (ue > cap_t) & (it < max_iters)
-
-        def dbody(st):
-            isa, sa, lcp, brow, active, ub, ue, d, it = st
+        def dense_step(isa, lcp, extra, d):
             if self.with_lcp:
                 if factor == 4:
                     isa, sa, lcp, qkey, lq, rq, dz, _nq, brow, active, \
-                        ub, ue = self._step4_local(isa, lcp, d)
+                        ub, ue = self._step4_local(isa, lcp, d, qs=None)
                 else:
                     isa, sa, lcp, qkey, lq, rq, _nq, brow, active, ub, ue = \
-                        self._step_local(isa, lcp, d, q=0)
+                        self._step_local(isa, lcp, d, q=None)
                     dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
                 lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
                                                 m_pad=m_pad)
             elif factor == 4:
-                isa, sa, brow, active, ub, ue = self._step4_local(isa, d)
+                isa, sa, brow, active, ub, ue = self._step4_local(
+                    isa, d, qs=None)
             else:
-                isa, sa, brow, active, ub, ue = self._step_local(isa, d, q=0)
-            return (isa, sa, lcp, brow, active, ub, ue, d * factor, it + 1)
+                isa, sa, brow, active, ub, ue = self._step_local(
+                    isa, d, q=None)
+            return isa, sa, lcp, brow, active, (), ub, ue, d * factor
 
-        st = (isa, sa, lcp, brow, active, ub, ue, d0, jnp.int32(0))
-        isa, sa, lcp, brow, active, ub, ue, d, _ = lax.while_loop(
-            dcond, dbody, st)
+        return self._fused_drive((isa, sa, lcp, brow, active, (), ub, ue),
+                                 dense_step, m_cap=m_cap, m_cap2=m_cap2)
+
+    def _fused_drive(self, init_outs, dense_step, *, m_cap: int,
+                     m_cap2: int):
+        """Shared fused-construction orchestration (SA and GSA drivers).
+
+        ``init_outs`` = (isa, sa, lcp|None, brow, active, extra, ub, ue)
+        with ``extra`` the per-SA-row companion buffers the tail entry needs
+        (GSA: the row-aligned end-of-string bound).  ``dense_step(isa, lcp,
+        extra, d)`` runs ONE dense iteration including its LCP resolve and
+        returns (isa, sa, lcp, brow, active, extra, ub, ue, d_next).
+
+        Dense while_loop (hands over once the active set fits ``m_cap``) ->
+        two-stage sparse tail: entry at ``m_cap``, recompaction to
+        ``m_cap2`` once the active count drops — converging corpora (k-mer
+        init separates almost everything) enter at ``m_cap2`` directly and
+        never pay the big stage.  Returns (isa, sa[, lcp], brow, active,
+        stats) with stats = [ub, ue, tail_ran, d] (replicated) so a host
+        fallback can resume from d if the tail never fit.
+        """
+        N = self.N
+        idt = self.idt
+        isa, sa, lcp, brow, active, extra, ub, ue = init_outs
+        with_lcp = self.with_lcp
+        if lcp is None:
+            lcp = jnp.zeros((self.s,), idt)  # carried placeholder
+        ne = len(extra)
+        nb = 3 if self.gsa_mode else 2  # compact tail buffer count
+        d0 = jnp.asarray(self.k1 + self.k2, idt)
+        max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
+        cap_t = jnp.asarray(m_cap, idt)
+        cap2_t = jnp.asarray(m_cap2, idt)
+
+        def dcond(st):
+            ub, ue, d, it = st[5 + ne:]
+            return (ub > 0) & (ue > cap_t) & (it < max_iters)
+
+        def dbody(st):
+            isa, sa, lcp, brow, active = st[:5]
+            extra = st[5:5 + ne]
+            ub, ue, d, it = st[5 + ne:]
+            isa, sa, lcp, brow, active, extra, ub, ue, d = dense_step(
+                isa, lcp, extra, d)
+            return (isa, sa, lcp, brow, active) + extra + (ub, ue, d, it + 1)
+
+        st = (isa, sa, lcp, brow, active) + extra + (ub, ue, d0,
+                                                     jnp.int32(0))
+        st = lax.while_loop(dcond, dbody, st)
+        isa, sa, lcp, brow, active = st[:5]
+        extra = st[5:5 + ne]
+        ub, ue, d, _ = st[5 + ne:]
 
         fits = (ue > 0) & (ue <= cap_t)
 
@@ -685,15 +723,16 @@ class _Builder:
                 return (t_[-1] > stop) & (t_[-2] < max_iters)
 
             def body(t_):
-                cs, cb, isa, sa, lcp, dd, it, _ = t_
-                if self.with_lcp:
-                    cs, cb, isa, sa, lcp, tue = self._tail_step_local(
-                        cs, cb, isa, sa, lcp, dd, m_cap=cap)
+                cbufs = t_[:nb]
+                isa, sa, lcp, dd, it, _ = t_[nb:]
+                if with_lcp:
+                    *cbufs, isa, sa, lcp, tue = self._tail_step_local(
+                        *cbufs, isa, sa, lcp, dd, m_cap=cap)
                 else:
-                    cs, cb, isa, sa, tue = self._tail_step_local(
-                        cs, cb, isa, sa, dd, m_cap=cap)
+                    *cbufs, isa, sa, tue = self._tail_step_local(
+                        *cbufs, isa, sa, dd, m_cap=cap)
                 dd = jnp.minimum(dd * 2, jnp.asarray(N, idt))
-                return (cs, cb, isa, sa, lcp, dd, it + 1, tue)
+                return tuple(cbufs) + (isa, sa, lcp, dd, it + 1, tue)
 
             return lax.while_loop(cond, body, ts)
 
@@ -702,26 +741,30 @@ class _Builder:
 
             def big(args2):
                 isa, sa, lcp, d = args2
-                cs, cb, _t = self._tail_enter_local(sa, brow, active,
-                                                    m_cap=m_cap)
-                ts = (cs, cb, isa, sa, lcp, d, jnp.int32(0), ue)
-                cs, cb, isa, sa, lcp, d, _, ue2 = tail_loop(
-                    ts, m_cap, cap2_t)
-                cs2, cb2 = self._tail_recompact_local(
-                    (cs, cb), m_from=m_cap, m_to=m_cap2)
-                return cs2, cb2, isa, sa, lcp, d, ue2
+                outs = self._tail_enter_local(sa, brow, active, *extra,
+                                              m_cap=m_cap)
+                cbufs = outs[:-1]
+                ts = cbufs + (isa, sa, lcp, d, jnp.int32(0), ue)
+                ts = tail_loop(ts, m_cap, cap2_t)
+                cbufs = ts[:nb]
+                isa, sa, lcp, d = ts[nb:nb + 4]
+                ue2 = ts[-1]
+                cbufs2 = self._tail_recompact_local(cbufs, m_from=m_cap,
+                                                    m_to=m_cap2)
+                return cbufs2 + (isa, sa, lcp, d, ue2)
 
             def small(args2):
                 isa, sa, lcp, d = args2
-                cs2, cb2, _t = self._tail_enter_local(sa, brow, active,
-                                                      m_cap=m_cap2)
-                return cs2, cb2, isa, sa, lcp, d, ue
+                outs = self._tail_enter_local(sa, brow, active, *extra,
+                                              m_cap=m_cap2)
+                return outs[:-1] + (isa, sa, lcp, d, ue)
 
-            cs2, cb2, isa, sa, lcp, d, ue2 = lax.cond(
-                ue > cap2_t, big, small, (isa, sa, lcp, d))
-            ts = (cs2, cb2, isa, sa, lcp, d, jnp.int32(0), ue2)
+            st2 = lax.cond(ue > cap2_t, big, small, (isa, sa, lcp, d))
+            cbufs2 = st2[:nb]
+            isa, sa, lcp, d, ue2 = st2[nb:]
+            ts = cbufs2 + (isa, sa, lcp, d, jnp.int32(0), ue2)
             ts = tail_loop(ts, m_cap2, jnp.asarray(0, idt))
-            return ts[2], ts[3], ts[4], ts[-1]
+            return ts[nb], ts[nb + 1], ts[nb + 2], ts[-1]
 
         def no_tail(args):
             isa, sa, lcp, _ = args
@@ -729,8 +772,8 @@ class _Builder:
 
         isa, sa, lcp, ue_out = lax.cond(fits, run_tail, no_tail,
                                         (isa, sa, lcp, d))
-        stats = jnp.stack([ub, ue_out, fits.astype(idt)])
-        base = (isa, sa) + ((lcp,) if self.with_lcp else ())
+        stats = jnp.stack([ub, ue_out, fits.astype(idt), d])
+        base = (isa, sa) + ((lcp,) if with_lcp else ())
         return base + (brow, active, stats)
 
     def tail_step(self, m_cap: int):
@@ -828,7 +871,8 @@ class _Builder:
         lq = jnp.minimum(pb2, b2_s)
         rq = jnp.maximum(pb2, b2_s) - 1
         kq = jnp.where(querycase, row, self.INF)
-        lcp_new = self._resolve_local(lcp_l, kq, lq, rq, d)
+        # capscale None => cap = m (never overflows); ovf is statically 0
+        lcp_new, _ovf = self._resolve_local(lcp_l, kq, lq, rq, d)
         return outs_base + (lcp_new, ue)
 
 
@@ -848,9 +892,11 @@ def _lc_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int,
 
     def gather(recv, recv_valid):
         (q,) = recv
-        return (xs_l[jnp.clip(q - r * s, 0, s - 1)],)
+        base = jnp.asarray(r, q.dtype) * s  # idt product: no int32 overflow
+        return (xs_l[jnp.clip(q - base, 0, s - 1).astype(jnp.int32)],)
 
-    (ch,), ovf = route_apply((safe,), safe // s, gather, (jnp.int32,), p,
+    (ch,), ovf = route_apply((safe,), (safe // s).astype(jnp.int32), gather,
+                             (jnp.int32,), p,
                              cap=cap_for(s, p, capscale), skip=~real,
                              with_overflow=True)
     return jnp.where(real, ch, 0), ovf
@@ -882,6 +928,13 @@ def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
     return lc
 
 
+#: Diagnostics of the most recent ``construct_device`` call: whether the
+#: fused one-dispatch path ran and how many host-driven loop iterations (each
+#: a separate dispatch + scalar readback) were needed after it.  The
+#: multichip dryrun asserts host_iters == 0 (the one-program guarantee).
+LAST_BUILD: dict = {}
+
+
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 
@@ -893,6 +946,25 @@ def _get_builder(mesh, N, k1, k2, bits, with_lcp, idt=jnp.int32) -> _Builder:
             _BUILDER_CACHE.clear()
         _BUILDER_CACHE[key] = _Builder(mesh, N, k1, k2, bits, with_lcp, idt=idt)
     return _BUILDER_CACHE[key]
+
+
+def resolve_with_retry(b: _Builder, m_pad: int, lcp, qkey, lq, rq, d):
+    """Host-path LCP resolve with bounded routing buffers: try a small
+    per-destination capacity first (O(m) exchange volume), escalate to the
+    never-overflowing cap = m only when the destination skew demands it
+    (reference imbalance reporting: ``bulk_rma.hpp:27-35``)."""
+    from psac_tpu.utils.timers import timers_enabled
+
+    for capscale in ((6, None) if b.p > 1 else (None,)):
+        lcp_new, ovf = b.resolve(m_pad, capscale)(lcp, qkey, lq, rq, d)
+        if capscale is None or int(ovf) == 0:
+            break
+        if timers_enabled():
+            import sys
+            print(f"[psac_tpu] resolve route overflow ({int(ovf)} records "
+                  f"at capscale={capscale}); retrying with cap=m",
+                  file=sys.stderr)
+    return lcp_new
 
 
 def index_dtype_for(N: int, config) -> object:
@@ -1004,33 +1076,24 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
         fused_factor = config.factor if config.factor in (2, 4) \
             else config.dense_factor
 
+    d = k
     if use_fused:
-        # one-dispatch fast path: init + sparse tail inside a single program,
-        # a single (3,) readback decides whether the host loop is needed
-        # small static capacity keeps the fused tail's sorts/scatters cheap
-        # (and its RMQ in the cheap no-table regime); bigger leftovers fall
-        # back to the host-driven loop below
-        if b.p == 1:
-            # single shard: the WHOLE construction is one dispatch — dense
-            # L-pling runs as a while_loop with a traced shift distance
-            # (a local dynamic slice; no ppermute pattern to specialize)
-            m_cap2 = max(8, min(N, _pow2ceil(max(256, N // 1024))))
-            m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
-            outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor)(
-                xs, jnp.asarray(n, idt))
-        else:
-            # small static capacity keeps the fused tail's sorts/scatters
-            # cheap; bigger leftovers fall back to the host-driven loop
-            m_cap_f = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
-            outs = b.fused(m_cap_f)(xs, jnp.asarray(n, idt))
+        # one-dispatch fast path at every p: init + dense while_loop +
+        # two-stage sparse tail inside a single program, a single (4,)
+        # readback decides whether a host-driven fallback is needed
+        m_cap2 = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
+        m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
+        outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor)(
+            xs, jnp.asarray(n, idt))
         if config.construct_lcp:
             isa, sa, lcp, brow, active, stats = outs
         else:
             isa, sa, brow, active, stats = outs
             lcp = None
-        ub, ue, tail_ran = (int(v) for v in np.asarray(jax.device_get(stats)))
+        ub, ue, tail_ran, d_out = (int(v) for v in
+                                   np.asarray(jax.device_get(stats)))
         timer.end_section(
-            f"fused init+tail (k={k}, cap {m_cap_f}, tail_ran={tail_ran})")
+            f"fused construction (k={k}, cap {m_cap_f}, tail_ran={tail_ran})")
         timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} "
                    f"elements(after)={ue}")
         if tail_ran:
@@ -1039,6 +1102,10 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
             ub = 0
         elif ue == 0:
             ub = 0
+        else:
+            d = max(d, d_out)  # resume the host fallback where the fused
+            # dense loop stopped (max_iters safety bound hit)
+        LAST_BUILD.update(fused=True, host_iters=0, p=b.p, n=n, N=N)
     else:
         outs = b._init(xs, jnp.asarray(n, idt))
         if config.construct_lcp:
@@ -1050,10 +1117,11 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
         ue = int(ue)
         timer.end_section(f"kmer-init (k={k})")
         timer.info(f"n={n} N={N} p={b.p} unfinished buckets={ub} elements={ue}")
+        LAST_BUILD.update(fused=False, host_iters=0, p=b.p, n=n, N=N)
 
-    d = k
     tail_limit = int(N * config.tail_threshold_frac)
     while ub > 0:
+        LAST_BUILD["host_iters"] += 1
         if d >= 2 * N:
             raise AssertionError("doubling failed to converge")
         if 0 < ue <= tail_limit:
@@ -1101,7 +1169,8 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
             timer.end_section(f"doubling-step d={d}")
             if nq > 0:
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
-                lcp = b.resolve(m_pad)(lcp, qkey, lq, rq, jnp.asarray(d, idt))
+                lcp = resolve_with_retry(b, m_pad, lcp, qkey, lq, rq,
+                                         jnp.asarray(d, idt))
                 timer.end_section(f"lcp-resolve d={d} ({nq} queries)")
         else:
             isa, sa, brow, active, ub, ue = b.step(q)(isa, jnp.asarray(d, idt))

@@ -183,6 +183,7 @@ def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
     """O(s) build: one block-argmin reduce + a doubling table over the
     (s/block,) block minima."""
     s = x.shape[0]
+    INF = jnp.iinfo(x.dtype).max
     block = block or block_size_for(s)
     nb = s // block
     xb = x.reshape(nb, block)
@@ -197,7 +198,7 @@ def build_arg_rmq(x, block: int | None = None) -> ArgLocalRMQ:
             rows_v.append(pv)
             rows_a.append(pa)
             continue
-        sv = jnp.concatenate([pv[w:], jnp.full((w,), INT32_INF, pv.dtype)])[:nb]
+        sv = jnp.concatenate([pv[w:], jnp.full((w,), INF, pv.dtype)])[:nb]
         sa_ = jnp.concatenate([pa[w:], jnp.zeros((w,), pa.dtype)])[:nb]
         v, a = _argmin_op((pv, pa), (sv, sa_))
         rows_v.append(v)
@@ -216,6 +217,7 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
     come from the small doubling table.
     """
     block, nb, s = rmq.block, rmq.nb, rmq.s
+    INF = jnp.iinfo(rmq.x.dtype).max
     bl = lo // block
     bh = hi // block
     xb = rmq.x.reshape(nb, block)
@@ -227,8 +229,8 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
     same = (bl == bh)[:, None]
     lmask = (offs >= lo_off) & (~same | (offs <= hi_off))
     rmask = (offs <= hi_off) & (~same | (offs >= lo_off))
-    lwm = jnp.where(lmask, lw, INT32_INF)
-    rwm = jnp.where(rmask, rw, INT32_INF)
+    lwm = jnp.where(lmask, lw, INF)
+    rwm = jnp.where(rmask, rw, INF)
     l_off = jnp.argmin(lwm, axis=1).astype(jnp.int32)  # first min = leftmost
     r_off = jnp.argmin(rwm, axis=1).astype(jnp.int32)
     left = (jnp.min(lwm, axis=1), bl * block + l_off)
@@ -242,8 +244,8 @@ def query_arg_rmq(rmq: ArgLocalRMQ, lo, hi):
     flat_a = rmq.tab_a.reshape(-1)
     i1 = jnp.clip(lev * nb + a, 0, flat_v.shape[0] - 1)
     i2 = jnp.clip(lev * nb + b - (1 << lev) + 1, 0, flat_v.shape[0] - 1)
-    t1 = (jnp.where(length > 0, flat_v[i1], INT32_INF), flat_a[i1])
-    t2 = (jnp.where(length > 0, flat_v[i2], INT32_INF), flat_a[i2])
+    t1 = (jnp.where(length > 0, flat_v[i1], INF), flat_a[i1])
+    t2 = (jnp.where(length > 0, flat_v[i2], INF), flat_a[i2])
     cand = _argmin_op(left, t1)
     cand = _argmin_op(cand, t2)
     cand = _argmin_op(cand, right)

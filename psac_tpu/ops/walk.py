@@ -27,6 +27,7 @@ def build_min_table(x):
     with +inf so clipped windows are correct.
     """
     s = x.shape[0]
+    INF = jnp.iinfo(x.dtype).max
     L = max(1, (s - 1).bit_length() + 1)
     rows = [x]
     for k in range(1, L):
@@ -36,7 +37,7 @@ def build_min_table(x):
             rows.append(prev)
             continue
         shifted = jnp.concatenate(
-            [prev[w:], jnp.full((w,), INT32_INF, prev.dtype)])[:s]
+            [prev[w:], jnp.full((w,), INF, prev.dtype)])[:s]
         rows.append(jnp.minimum(prev, shifted))
     return jnp.stack(rows)
 

@@ -274,7 +274,7 @@ def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
 
 def _left_match_p1(x, s: int, typ: int):
     """Single-shard one-side fast path (see ``_use_scan``)."""
-    if not _use_scan():
+    if not _use_scan() or x.dtype != jnp.int32:
         return _left_match_local_only(x, s, typ)
 
     from psac_tpu.ops.nsv_scan import CHUNK, nsv_scan_left
@@ -324,7 +324,9 @@ def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
     routing buffers via ``route.cap_for``; nonzero ovf means the caller must
     retry with a larger capscale — results are incomplete).
     """
-    if p == 1 and _use_scan():
+    # the Pallas run-stack kernel is int32-only; wider values (int64 LCP
+    # arrays of >= 2^31-char texts) take the dtype-generic walk path
+    if p == 1 and _use_scan() and x_l.dtype == jnp.int32:
         lidx, lval, ridx_r, rval_r = _dual_match_p1(
             x_l, s, left_type, right_type)
         ovf = jnp.int32(0)

@@ -81,6 +81,45 @@ def global_shift_left(x, d, q: int, p: int):
     return lax.dynamic_slice_in_dim(both, r, s)
 
 
+def global_shift_left_dyn(x, d, p: int):
+    """out[g] = x[g + d] with a *traced* distance d (0 past the global end).
+
+    The fused dense doubling loop carries d in a ``lax.while_loop``, so the
+    shard-distance q = d // s is not static.  ppermute patterns must be
+    static, so the block shift runs as a ladder of log2(p) conditional
+    power-of-two block shifts selected by the bits of q (shifting by q
+    blocks == composing shifts by 2^j blocks for q's set bits; the
+    zero-fill of non-receiving shards composes correctly), plus one static
+    shift-by-1 for the second block and a traced in-shard dynamic slice.
+    This is the multi-shard equivalent of the reference's ``shift_vector``
+    (``include/shifting.hpp:32-122``) for the one-dispatch construction.
+    """
+    s = x.shape[0]
+    q = (d // s).astype(jnp.int32)
+    r = (d - q.astype(d.dtype) * s).astype(jnp.int32)
+    if p == 1:
+        # local: out = concat(x, 0s)[d : d+s]; slice start clamps to s when
+        # d >= s, returning the zero block
+        both = jnp.concatenate([x, jnp.zeros_like(x)])
+        out = lax.dynamic_slice_in_dim(both, jnp.minimum(r, s), s)
+        return jnp.where(q > 0, jnp.zeros_like(out), out)
+    oob = q >= p
+    qc = jnp.where(oob, 0, q)
+    a = x
+    j = 1
+    while j < p:
+        a = lax.cond(
+            (qc & j) != 0,
+            lambda t, jj=j: lax.ppermute(t, AXIS, _perm_shift(p, jj)),
+            lambda t: t,
+            a)
+        j *= 2
+    b = lax.ppermute(a, AXIS, _perm_shift(p, 1))
+    both = jnp.concatenate([a, b])
+    out = lax.dynamic_slice_in_dim(both, r, s)
+    return jnp.where(oob, jnp.zeros_like(out), out)
+
+
 def exscan_scalar(v, p: int, op: str = "add", init=0):
     """Exclusive scan of one scalar per shard across the axis; returns carry-in.
 

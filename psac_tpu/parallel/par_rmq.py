@@ -26,7 +26,8 @@ from psac_tpu.parallel.mesh import AXIS
 from psac_tpu.parallel.route import route_apply
 
 
-def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
+def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int,
+                   cap: int | None = None, with_overflow: bool = False):
     """Min over global ranges [l, r] (inclusive); (q,) queries per shard.
 
     Args:
@@ -34,8 +35,15 @@ def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
       shard_mins: (p,) replicated per-shard minima.
       l, r: (q,) int32 global endpoints, l <= r; invalid entries arbitrary.
       valid: (q,) bool.
+      cap: per-destination routing capacity (see ``route_apply``; default q =
+        never overflows but allocates O(p*q) exchange buffers — the
+        imbalance the reference reports at ``bulk_rma.hpp:27-35``).  Invalid
+        queries are never routed and consume no capacity.
+      with_overflow: also return the psum'd count of capacity-dropped
+        queries so the caller can retry the jitted call with a larger cap.
     Returns:
-      (q,) int32 minima (INT32_INF at invalid entries).
+      (q,) minima (INF at invalid entries); plus the overflow count if
+      requested.
     """
     INF = jnp.iinfo(rmq.x.dtype).max
     l = jnp.where(valid, l, 0)
@@ -61,8 +69,9 @@ def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
         ans = jnp.where(q_cross, jnp.minimum(part, mid), part)
         return (jnp.where(recv_valid, ans, INF),)
 
-    (left_ans,) = route_apply((l, r), shard_l, answer_left,
-                              (rmq.x.dtype,), p)
+    (left_ans,), ovf_l = route_apply((l, r), shard_l, answer_left,
+                                     (rmq.x.dtype,), p, cap=cap,
+                                     skip=~valid, with_overflow=True)
 
     def answer_right(recv, recv_valid):
         (rr,) = recv
@@ -71,9 +80,16 @@ def bulk_rmq_local(rmq: LocalRMQ, shard_mins, l, r, valid, s: int, p: int):
         ans = query_local_rmq(rmq, jnp.zeros_like(hi), hi)
         return (jnp.where(recv_valid, ans, INF),)
 
-    (right_ans,) = route_apply((r,), shard_r, answer_right,
-                               (rmq.x.dtype,), p)
+    (right_ans,), ovf_r = route_apply((r,), shard_r, answer_right,
+                                      (rmq.x.dtype,), p, cap=cap,
+                                      skip=~(valid & cross),
+                                      with_overflow=True)
     right_ans = jnp.where(cross, right_ans, INF)
 
+    # skipped/overflowed answers come back as 0, which would win the min —
+    # mask both partials to INF wherever they were not actually computed
+    left_ans = jnp.where(valid, left_ans, INF)
     out = jnp.minimum(left_ans, right_ans)
+    if with_overflow:
+        return jnp.where(valid, out, INF), ovf_l + ovf_r
     return jnp.where(valid, out, INF)

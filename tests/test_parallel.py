@@ -8,7 +8,9 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
-from psac_tpu.parallel.collectives import global_cummax, global_shift_left, halo_from_left, halo_from_right
+from psac_tpu.parallel.collectives import (
+    global_cummax, global_shift_left, global_shift_left_dyn,
+    halo_from_left, halo_from_right)
 from psac_tpu.parallel.route import route_apply, route_scatter
 from psac_tpu.parallel.sort import dist_sort_local, scatter_by_index_local
 from psac_tpu.parallel.mesh import AXIS, block_sharding
@@ -34,6 +36,25 @@ def test_global_shift(mesh8):
         if d < N:
             want[:N - d] = x[d:]
         np.testing.assert_array_equal(got, want, err_msg=f"d={d}")
+
+
+@pytest.mark.parametrize("p,meshname", [(8, "mesh8"), (1, "mesh1")])
+def test_global_shift_dyn(request, p, meshname):
+    """Traced-distance shift (the fused dense loop's ladder) vs NumPy."""
+    mesh = request.getfixturevalue(meshname)
+    N = 64
+    s = N // p
+    x = np.arange(100, 100 + N).astype(np.int32)
+    xd = put(mesh, x)
+    f = jax.jit(jax.shard_map(
+        functools.partial(global_shift_left_dyn, p=p),
+        mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(AXIS)))
+    for d in [0, 1, 3, 7, 8, 9, 15, 16, 17, 24, 31, 40, 56, 63, 64, 100]:
+        got = np.asarray(f(xd, jnp.int32(d)))
+        want = np.zeros(N, np.int32)
+        if d < N:
+            want[:N - d] = x[d:]
+        np.testing.assert_array_equal(got, want, err_msg=f"p={p} d={d}")
 
 
 def test_global_cummax(mesh8):
