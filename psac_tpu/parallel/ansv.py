@@ -230,15 +230,23 @@ def _left_match_local_only(x, s: int, typ: int):
     return idx, jnp.where(idx == NONSV, 0, val)
 
 
-def _use_scan() -> bool:
-    """Pallas run-stack scans on TPU (~52ns/elem on the scalar unit —
-    measured FASTER than the vectorized hierarchical walks at 16M, whose 7
-    random row-gathers/walk run at ~50GB/s; set PSAC_NSV_VEC=1 to force the
-    walks).  Non-TPU backends use the walks (pallas interpret mode can't
-    run inside shard_map)."""
+def _engine() -> str:
+    """Single-shard ANSV engine selection (``PSAC_NSV`` env):
+
+    - ``block`` (default): the blocked vectorized engine
+      (``psac_tpu.ops.bansv``) — VPU all-pairs compares + the
+      (PSV, value)-group head table; no scalar loops, any backend.
+    - ``scan``: the Pallas run-stack scalar kernel (~52ns/elem, TPU only;
+      loop-bound at ~50 cycles/elem on the scalar unit).
+    - ``walk``: the hierarchical-window walks (the multi-shard fallback
+      engine; ~7 random row-gathers per element at ~50GB/s).
+    """
     import os
-    return jax.default_backend() == "tpu" and \
-        os.environ.get("PSAC_NSV_VEC", "0") in ("", "0")
+    return os.environ.get("PSAC_NSV", "block")
+
+
+def _use_scan() -> bool:
+    return _engine() == "scan" and jax.default_backend() == "tpu"
 
 
 def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
@@ -273,7 +281,12 @@ def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
 
 
 def _left_match_p1(x, s: int, typ: int):
-    """Single-shard one-side fast path (see ``_use_scan``)."""
+    """Single-shard one-side fast path (see ``_engine``)."""
+    if _engine() == "block":
+        from psac_tpu.ops.bansv import nsv_left
+
+        idx, val = nsv_left(x, typ)
+        return jnp.where(idx < 0, NONSV, idx), val
     if not _use_scan() or x.dtype != jnp.int32:
         return _left_match_local_only(x, s, typ)
 

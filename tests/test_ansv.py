@@ -190,3 +190,56 @@ def test_nsv_scan_dual_interpret(lt, rt):
     got_r = got_rr[::-1].copy()
     got_r = np.where(got_r < 0, NONSV, n - 1 - got_r)
     np.testing.assert_array_equal(got_r, want_r)
+
+
+@pytest.mark.parametrize("typ", TYPES)
+def test_block_engine_vs_oracle(typ):
+    """The blocked vectorized engine (ops/bansv) must be oracle-exact on
+    shapes that cross its block (256) and superblock (65536) boundaries
+    and on degenerate inputs (plateaus, monotone, sawtooth)."""
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.bansv import nsv_left
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for n in (1, 255, 257, 1000, 66000):
+        cases += [rng.randint(0, 5, n).astype(np.int32),
+                  np.full(n, 7, np.int32),
+                  np.arange(n, dtype=np.int32),
+                  (n - np.arange(n)).astype(np.int32)]
+        saw = np.arange(n, dtype=np.int32)
+        saw[::2] = 10**6 - saw[::2]
+        cases.append(saw)
+    for a in cases:
+        want, _ = ansv_seq(a, typ, typ)
+        idx, val = nsv_left(jnp.asarray(a), typ)
+        got = np.asarray(idx).astype(np.int64)
+        got[got < 0] = NONSV
+        np.testing.assert_array_equal(got, want)
+        m = np.asarray(idx) >= 0
+        np.testing.assert_array_equal(np.asarray(val)[m],
+                                      a[np.asarray(idx)[m]])
+
+
+@pytest.mark.parametrize("typ", TYPES)
+def test_block_engine_small_blocks(typ, monkeypatch):
+    """Shrunken block size forces the superblock + distant-block resolve
+    stages (incl. multiple while_loop chunks) on small inputs."""
+    import jax.numpy as jnp
+
+    import psac_tpu.ops.bansv as bansv
+
+    monkeypatch.setattr(bansv, "B", 4)
+    monkeypatch.setattr(bansv, "_BC", 8)
+    monkeypatch.setattr(bansv, "_QMIN", 8)
+    rng = np.random.RandomState(12)
+    for n in (3, 16, 17, 64, 65, 257, 1000):
+        for a in (rng.randint(0, 4, n).astype(np.int32),
+                  np.full(n, 3, np.int32),
+                  rng.randint(0, 1000, n).astype(np.int32)):
+            want, _ = ansv_seq(a, typ, typ)
+            idx, _val = bansv.nsv_left(jnp.asarray(a), typ)
+            got = np.asarray(idx).astype(np.int64)
+            got[got < 0] = NONSV
+            np.testing.assert_array_equal(got, want)
