@@ -11,7 +11,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   reference numbers).
 
 Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
-("dna"|"repetitive"|"text"|"textmix"|"bytes").
+("dna"|"repetitive"|"text"|"textmix"|"bytes"), PSAC_BENCH_FACTOR
+(dense prefix-L-pling factor, default SAConfig.dense_factor),
+PSAC_BENCH_RESOLVE_DIV (LCP-resolve chunk divisor).
 """
 
 import json
@@ -103,12 +105,26 @@ def main():
     # reference likewise keeps results distributed per rank, never gathered).
     # The remote-TPU transport occasionally drops a request mid-flight
     # (FAILED_PRECONDITION); retry once from a clean dispatch.
+    import dataclasses
+
+    from psac_tpu import config as _cfg
+    conf = _cfg.DEFAULT
+    if os.environ.get("PSAC_BENCH_FACTOR"):
+        conf = dataclasses.replace(
+            conf, dense_factor=int(os.environ["PSAC_BENCH_FACTOR"]))
+    if os.environ.get("PSAC_BENCH_RESOLVE_DIV"):
+        conf = dataclasses.replace(
+            conf, resolve_div=int(os.environ["PSAC_BENCH_RESOLVE_DIV"]))
     for attempt in range(3):
         try:
-            xs, alpha, n_, N = encode_and_shard(text, mesh)
-            construct_device(xs, alpha, n_, N, mesh).block_until_ready()  # warm-up
+            xs, alpha, n_, N = encode_and_shard(text, mesh, conf)
+            construct_device(xs, alpha, n_, N, mesh, conf).block_until_ready()  # warm-up
             t0 = time.time()
-            dres = construct_device(xs, alpha, n_, N, mesh).block_until_ready()
+            dres = construct_device(xs, alpha, n_, N, mesh, conf)
+            dres.block_until_ready()
+            # block_until_ready returns early through the axon tunnel; a
+            # device_get of an output slice is the reliable sync
+            np.asarray(jax.device_get(dres.sa[:4]))
             dt = time.time() - t0
             break
         except (AssertionError, ValueError, TypeError):

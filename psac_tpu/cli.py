@@ -65,6 +65,15 @@ def cmd_psac(args) -> int:
         nodes = construct_suffix_tree_device(dsa, xs, mesh).materialize()
         _log(f"ST time: {(time.time() - t0) * 1000:.1f} ms "
              f"({nodes.shape[0]} nodes x {nodes.shape[1]} slots)")
+    elif getattr(args, "file", None):
+        # file inputs stage per-host shard blocks (reference
+        # file_block_decompose, src/psac.cpp:85) — no full-n host copy on
+        # the construction path
+        from psac_tpu.models.suffix_array import construct_from_file
+        t0 = time.time()
+        dsa, _xs = construct_from_file(args.file, mesh=mesh, config=conf)
+        res = dsa.materialize()
+        _log(f"PSAC time: {(time.time() - t0) * 1000:.1f} ms")
     else:
         t0 = time.time()
         res = build_suffix_array(text, mesh=mesh, config=conf)

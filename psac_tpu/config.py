@@ -64,11 +64,15 @@ class SAConfig:
     factor: int = 2
     fused: bool = True
     force_int64: bool = False
-    # dense-phase prefix-multiplication factor of the fused single-shard
-    # path (2 = doubling, 4 = quadrupling WITH interleaved LCP — beyond the
-    # reference, whose construct_arr<L> is SA-only); repeat-heavy corpora
-    # halve their dense iteration count at ~30% extra sort width
+    # dense-phase prefix-multiplication factor of the fused path
+    # (2 = doubling; 3/4/8 = L-pling WITH interleaved LCP — beyond the
+    # reference, whose construct_arr<L> is SA-only): sort width grows
+    # linearly with L, iteration count shrinks by log L, so repeat-heavy
+    # corpora win at higher L until the L+1 live operands bind HBM
     dense_factor: int = 4
+    # LCP-resolve chunk divisor of the fused path: chunk = s / resolve_div
+    # (measured on the 16 MiB repetitive corpus: 32 beats 16/8/4)
+    resolve_div: int = 32
 
 
 DEFAULT = SAConfig()

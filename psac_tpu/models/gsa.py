@@ -359,7 +359,8 @@ def build_gsa_device(strings, mesh=None,
         # + eos-aware two-stage tail); a single (4,) readback
         m_cap2 = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
         m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
-        fouts = b.gfused_full(m_cap_f, m_cap2)(xs, eos)
+        fouts = b.gfused_full(m_cap_f, m_cap2,
+                              resolve_div=config.resolve_div)(xs, eos)
         if config.construct_lcp:
             isa, sa, lcp, brow, _active, stats = fouts
         else:

@@ -398,13 +398,16 @@ class _Builder:
     # ---------------- prefix-quadrupling dense step (with LCP) ----------
 
     def _step4_local(self, isa_l, *rest, qs):
-        """One prefix-quadrupling iteration WITH interleaved LCP: sort by
-        (B, B@d, B@2d, B@3d, i); a split at first-differing column j gets
+        return self._stepL_local(isa_l, *rest, qs=qs, L=4)
+
+    def _stepL_local(self, isa_l, *rest, qs, L: int):
+        """One prefix-L-pling iteration WITH interleaved LCP: sort by
+        (B, B@d, ..., B@(L-1)d, i); a split at first-differing column j gets
         LCP = j*d + min-range between the two column-j buckets (the same
         resolve_next_lcp recurrence, with additive j*d — the reference's
-        construct_arr<L> supports no LCP; this extends it).  Halves the
-        dense iteration count for repeat-heavy corpora at ~30% extra sort
-        width."""
+        construct_arr<L> supports no LCP; this extends it, and to L = 8:
+        sort width grows linearly with L while the dense iteration count
+        shrinks by log L, a net win on repeat-heavy corpora)."""
         s, p, N = self.s, self.p, self.N
         idt = self.idt
         if self.with_lcp:
@@ -412,31 +415,33 @@ class _Builder:
         else:
             (d,) = rest
         gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
-        q1, q2, q3 = qs if qs is not None else (None, None, None)
-        b1 = self._shift(isa_l, d, q1)
-        b2 = self._shift(isa_l, 2 * d, q2)
-        b3 = self._shift(isa_l, 3 * d, q3)
-        b0s, b1s, b2s, b3s, sa = dist_sort_local(
-            (isa_l, b1, b2, b3, gidx), num_keys=5, p=p)
+        qcols = qs if qs is not None else (None,) * (L - 1)
+        cols = [isa_l] + [self._shift(isa_l, j * d, qcols[j - 1])
+                          for j in range(1, L)]
+        sorted_ops = dist_sort_local(tuple(cols) + (gidx,), num_keys=L + 1,
+                                     p=p)
+        sa = sorted_ops[-1]
+        bcols = sorted_ops[:-1]
 
         def prev_of(a, fill=-1):
             return jnp.concatenate(
                 [halo_from_left(a, 1, p, fill=fill), a[:-1]])
 
-        pb0, pb1, pb2, pb3 = (prev_of(a) for a in (b0s, b1s, b2s, b3s))
-        d0 = b0s != pb0
-        d1 = b1s != pb1
-        d2 = b2s != pb2
-        d3 = b3s != pb3
-        newb = d0 | d1 | d2 | d3
+        pcols = [prev_of(a) for a in bcols]
+        diffs = [b != pb for b, pb in zip(bcols, pcols)]
+        newb = functools.reduce(jnp.logical_or, diffs)
         isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         if not self.with_lcp:
             return (isa_new, sa) + (b_new, active) + counts
 
-        split = ~d0 & (d1 | d2 | d3)
-        jcol = jnp.where(d1, 1, jnp.where(d2, 2, 3)).astype(idt)
-        pv = jnp.where(d1, pb1, jnp.where(d2, pb2, pb3))
-        cv = jnp.where(d1, b1s, jnp.where(d2, b2s, b3s))
+        split = ~diffs[0] & functools.reduce(jnp.logical_or, diffs[1:])
+        # first differing column j in 1..L-1 and its (prev, cur) bucket pair
+        jcol = jnp.asarray(L - 1, idt)
+        pv, cv = pcols[L - 1], bcols[L - 1]
+        for j in range(L - 2, 0, -1):
+            jcol = jnp.where(diffs[j], j, jcol)
+            pv = jnp.where(diffs[j], pcols[j], pv)
+            cv = jnp.where(diffs[j], bcols[j], cv)
         zero = (pv == 0) | (cv == 0)
         dz = jcol * d.astype(idt)
         lcp_l = jnp.where(split & zero & (lcp_l == N), dz, lcp_l)
@@ -646,18 +651,19 @@ class _Builder:
 
         def dense_step(isa, lcp, extra, d):
             if self.with_lcp:
-                if factor == 4:
+                if factor >= 3:
                     isa, sa, lcp, qkey, lq, rq, dz, _nq, brow, active, \
-                        ub, ue = self._step4_local(isa, lcp, d, qs=None)
+                        ub, ue = self._stepL_local(isa, lcp, d, qs=None,
+                                                   L=factor)
                 else:
                     isa, sa, lcp, qkey, lq, rq, _nq, brow, active, ub, ue = \
                         self._step_local(isa, lcp, d, q=None)
                     dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
                 lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
                                                 m_pad=m_pad)
-            elif factor == 4:
-                isa, sa, brow, active, ub, ue = self._step4_local(
-                    isa, d, qs=None)
+            elif factor >= 3:
+                isa, sa, brow, active, ub, ue = self._stepL_local(
+                    isa, d, qs=None, L=factor)
             else:
                 isa, sa, brow, active, ub, ue = self._step_local(
                     isa, d, q=None)
@@ -1000,6 +1006,51 @@ def _x64_ctx(idt):
         return _global_x64()
 
 
+def _decode_staged(xb, alpha, mesh):
+    """uint8 -> dense int32 codes on device via the replicated mapping."""
+    mapping = jax.device_put(alpha.mapping.astype(np.int32),
+                             NamedSharding(mesh, P()))
+    key = ("decode", mesh_key(mesh), xb.shape[0])
+    if key not in _BUILDER_CACHE:
+        _BUILDER_CACHE[key] = jax.jit(jax.shard_map(
+            lambda t, m: jnp.take(m, t.astype(jnp.int32)),
+            mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(AXIS)))
+    return _BUILDER_CACHE[key](xb, mapping)
+
+
+def encode_and_shard_file(path: str, mesh,
+                          config: cfg_mod.SAConfig = cfg_mod.DEFAULT):
+    """Multi-host data path: stage a file block-sharded (each process reads
+    only its addressable shards' byte ranges) and detect the alphabet on
+    device — no full-n host allocation on any process.  The reference's
+    per-rank ``file_block_decompose`` + allreduced alphabet histogram
+    (``src/psac.cpp:85``, ``include/alphabet.hpp:213-218``)."""
+    from psac_tpu.parallel.staging import stage_file_block, staged_histogram
+
+    xb, n, N = stage_file_block(path, mesh)
+    hist = staged_histogram(xb, mesh)
+    alpha = Alphabet.from_hist(hist, pad_zeros=N - n)
+    xs = _decode_staged(xb, alpha, mesh)
+    return xs, alpha, n, N
+
+
+def construct_from_file(path: str, mesh=None,
+                        config: cfg_mod.SAConfig = cfg_mod.DEFAULT):
+    """Build SA(+LCP) from a file with per-host staging; returns the
+    device-resident result plus the staged codes (for distributed checks).
+
+    Unlike ``build_suffix_array`` this never gathers to one host, so it is
+    the multi-process (N>=2 hosts) entry point: call under
+    ``jax.distributed`` with a global mesh and consume the sharded result
+    collectively (e.g. ``verify.check_sa.d_check_sa`` or per-host IO)."""
+    from psac_tpu.parallel.mesh import make_mesh
+
+    mesh = mesh or make_mesh()
+    xs, alpha, n, N = encode_and_shard_file(path, mesh, config)
+    dsa = construct_device(xs, alpha, n, N, mesh, config)
+    return dsa, xs
+
+
 def encode_and_shard(text: bytes | np.ndarray, mesh,
                      config: cfg_mod.SAConfig = cfg_mod.DEFAULT):
     """Host preprocessing: alphabet detection, encoding, pad + device_put.
@@ -1016,22 +1067,12 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
             np.asarray(text).dtype == np.uint8:
         # ship raw uint8 and decode on-device: host->device bandwidth is the
         # binding setup cost on remote transports, and bytes are 4x smaller
-        # than int32 codes
+        # than int32 codes; per-shard staging avoids a full padded host copy
+        from psac_tpu.parallel.staging import stage_bytes_block
+
         alpha = Alphabet.from_bytes(text)
-        n = len(text)
-        N = padded_size(max(n, 1), p, multiple=8)
-        padded = np.zeros(N, np.uint8)
-        padded[:n] = np.frombuffer(bytes(text), np.uint8) if \
-            isinstance(text, (bytes, bytearray)) else np.asarray(text)
-        xb = jax.device_put(padded, block_sharding(mesh))
-        mapping = jax.device_put(alpha.mapping.astype(np.int32),
-                                 NamedSharding(mesh, P()))
-        key = ("decode", mesh_key(mesh), N)
-        if key not in _BUILDER_CACHE:
-            _BUILDER_CACHE[key] = jax.jit(jax.shard_map(
-                lambda t, m: jnp.take(m, t.astype(jnp.int32)),
-                mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(AXIS)))
-        xs = _BUILDER_CACHE[key](xb, mapping)
+        xb, n, N = stage_bytes_block(text, mesh)
+        xs = _decode_staged(xb, alpha, mesh)
     else:
         alpha = IntAlphabet.from_array(text)
         codes = alpha.encode(text)
@@ -1066,15 +1107,12 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
                             k, k1, k2, bits, timer) -> DeviceSuffixArray:
     b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp, idt=idt)
 
-    # the fused dense loop supports factors 2 and 4; a requested SA-only
-    # tripling (reference construct_arr<3>) runs the host-driven loop
-    use_fused = config.fused and not (
-        not config.construct_lcp and config.factor == 3)
+    use_fused = config.fused
     if config.construct_lcp:
         fused_factor = config.dense_factor
     else:
-        fused_factor = config.factor if config.factor in (2, 4) \
-            else config.dense_factor
+        # honor the user-facing construct_arr<L> factor in the fused path
+        fused_factor = config.factor
 
     d = k
     if use_fused:
@@ -1083,7 +1121,8 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
         # readback decides whether a host-driven fallback is needed
         m_cap2 = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
         m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
-        outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor)(
+        outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor,
+                            resolve_div=config.resolve_div)(
             xs, jnp.asarray(n, idt))
         if config.construct_lcp:
             isa, sa, lcp, brow, active, stats = outs

@@ -43,10 +43,19 @@ class Alphabet:
     @staticmethod
     def from_bytes(data: bytes | np.ndarray) -> "Alphabet":
         arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
-        hist = np.bincount(arr, minlength=256)
-        chars = np.nonzero(hist)[0].astype(np.uint8)
-        if hist[0] > 0:
+        return Alphabet.from_hist(np.bincount(arr, minlength=256))
+
+    @staticmethod
+    def from_hist(hist: np.ndarray, pad_zeros: int = 0) -> "Alphabet":
+        """Build from a (256,) byte histogram (the reference's allreduced
+        ``alphabet_histogram``, include/alphabet.hpp:72-100).  On the
+        multi-host staging path the histogram is computed on device over
+        the zero-padded staged array; ``pad_zeros`` is the expected
+        padding count so genuine NUL bytes still raise."""
+        hist = np.asarray(hist, np.int64)
+        if hist[0] != pad_zeros:
             raise ValueError("input text must not contain NUL bytes (0 is the sentinel)")
+        chars = np.nonzero(hist[1:])[0].astype(np.uint8) + 1
         mapping = np.zeros(256, dtype=np.uint8)
         mapping[chars] = np.arange(1, len(chars) + 1, dtype=np.uint8)
         inverse = np.zeros(len(chars) + 1, dtype=np.uint8)

@@ -64,13 +64,16 @@ def _left_nearest(x, table, sm, s: int, p: int, strict: bool,
                   cap: int | None = None):
     """nearest_sm (strict) / nearest_eq left matches; returns
     (gidx, value, overflow-count)."""
+    from psac_tpu.ops.bansv import block_psv
+
     v = x
-    i_loc = jnp.arange(s, dtype=jnp.int32)
     r = lax.axis_index(AXIS).astype(jnp.int32)
     base = r * s
     r_vec = jnp.full((s,), r, jnp.int32)
 
-    jl = prev_lt(table, i_loc, v, strict=strict)
+    # full-width per-element local matches run on the block engine (the
+    # walks stay for the small routed-query answers below)
+    jl = block_psv(v, strict=strict)
     found = jl >= 0
     C = _shard_last_lt(sm, v, r_vec, strict)
     skip = found | (C < 0)
@@ -103,13 +106,15 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
     (c) if no equal exists, the leftmost visible member of j*'s run
     (round-2 route when it extends into an earlier shard).
     """
+    from psac_tpu.ops.bansv import block_psv
+
     v = x
     i_loc = jnp.arange(s, dtype=jnp.int32)
     r = lax.axis_index(AXIS).astype(jnp.int32)
     base = r * s
     r_vec = jnp.full((s,), r, jnp.int32)
 
-    jstar = prev_lt(table, i_loc, v, strict=True)
+    jstar = block_psv(v, strict=True)  # full-width local nearest-smaller
     has_loc = jstar >= 0
     C = _shard_last_lt(sm, v, r_vec, strict=True)
     has_rem = (~has_loc) & (C >= 0)

