@@ -919,19 +919,21 @@ def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
     if dsa.lcp is None:
         raise ValueError("Lc requires the LCP array")
     p = num_shards(dsa.mesh)
-    for capscale in (6, None):
-        key = (mesh_key(dsa.mesh), dsa.N, dsa.n, capscale)
-        if key not in _LC_CACHE:
-            fn = jax.shard_map(
-                functools.partial(_lc_local, s=dsa.N // p, p=p, n=dsa.n,
-                                  capscale=capscale),
-                mesh=dsa.mesh, in_specs=(P(AXIS),) * 3,
-                out_specs=(P(AXIS), P()))
-            _LC_CACHE[key] = jax.jit(fn)
-        lc, ovf = _LC_CACHE[key](dsa.lcp, dsa.sa, xs)
-        if capscale is None or p == 1 or int(ovf) == 0:
-            break
-    return lc
+    idt = jnp.dtype(dsa.sa.dtype)
+    with _x64_ctx(idt):  # int64-indexed builds trace int64 ops here
+        for capscale in (6, None):
+            key = (mesh_key(dsa.mesh), dsa.N, dsa.n, capscale, idt.name)
+            if key not in _LC_CACHE:
+                fn = jax.shard_map(
+                    functools.partial(_lc_local, s=dsa.N // p, p=p, n=dsa.n,
+                                      capscale=capscale),
+                    mesh=dsa.mesh, in_specs=(P(AXIS),) * 3,
+                    out_specs=(P(AXIS), P()))
+                _LC_CACHE[key] = jax.jit(fn)
+            lc, ovf = _LC_CACHE[key](dsa.lcp, dsa.sa, xs)
+            if capscale is None or p == 1 or int(ovf) == 0:
+                break
+        return lc
 
 
 #: Diagnostics of the most recent ``construct_device`` call: whether the

@@ -365,12 +365,23 @@ _JIT_CACHE: dict = {}
 
 
 def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
-         mesh=None, nonsv: int | None = None):
-    """Distributed ANSV of a host array; returns (left, right) np.int64 indices.
+         mesh=None, nonsv: int | None = None, indexing: str = "global"):
+    """Distributed ANSV of a host array.
 
-    Public equivalent of the reference's ``ansv<T, left, right, global_indexing>``
-    (``include/ansv.hpp:2042-2051``).  ``nonsv`` defaults to n (one past the
-    end), mirroring the caller-chosen sentinel of the reference.
+    Public equivalent of the reference's ``ansv<T, left, right, indexing>``
+    (``include/ansv.hpp:2042-2051``; indexing types
+    ``include/ansv_common.hpp:20-25``).  ``nonsv`` defaults to n (one past
+    the end), mirroring the caller-chosen sentinel of the reference.
+
+    - ``indexing="global"``: returns (left, right) np.int64 global indices.
+    - ``indexing="local"``: returns (left, right) where each side is a
+      (rank, local_idx, value) triple of np.int64 arrays — the owner shard,
+      the index within it, and the matched value.  This is the reference's
+      ``local_indexing`` capability (read the match position AND value with
+      no further communication: in-shard matches index the local array,
+      remote ones carry their value like the reference's received
+      ``lr_mins`` entries); unmatched elements get rank = -1,
+      local_idx = ``nonsv``, value = 0.
     """
     mesh = mesh or make_mesh()
     p = num_shards(mesh)
@@ -390,13 +401,31 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
                 mesh=mesh, in_specs=(P(AXIS),),
                 out_specs=(P(AXIS),) * 4 + (P(),))
             _JIT_CACHE[key] = jax.jit(fn)
-        lidx, _, ridx, _, ovf = _JIT_CACHE[key](xs)
+        lidx, lval, ridx, rval, ovf = _JIT_CACHE[key](xs)
         if capscale is None or int(ovf) == 0:
             break
     sent = n if nonsv is None else nonsv
     left = np.asarray(jax.device_get(lidx))[:n].astype(np.int64)
     right = np.asarray(jax.device_get(ridx))[:n].astype(np.int64)
-    left[left == NONSV] = sent
+    lmiss = left == NONSV
     # a right match pointing into the +inf padding means "no match"
-    right[(right == NONSV) | (right >= n)] = sent
-    return left, right
+    rmiss = (right == NONSV) | (right >= n)
+    left[lmiss] = sent
+    right[rmiss] = sent
+    if indexing == "global":
+        return left, right
+    if indexing != "local":
+        raise ValueError(f"indexing must be 'global' or 'local': {indexing}")
+    lv = np.asarray(jax.device_get(lval))[:n].astype(np.int64)
+    rv = np.asarray(jax.device_get(rval))[:n].astype(np.int64)
+    lv[lmiss] = 0
+    rv[rmiss] = 0
+
+    def to_local(g, miss):
+        rank = np.where(miss, -1, g // s)
+        loc = np.where(miss, sent, g % s)
+        return rank, loc
+
+    lrank, lloc = to_local(left, lmiss)
+    rrank, rloc = to_local(right, rmiss)
+    return (lrank, lloc, lv), (rrank, rloc, rv)

@@ -243,3 +243,32 @@ def test_block_engine_small_blocks(typ, monkeypatch):
             got = np.asarray(idx).astype(np.int64)
             got[got < 0] = NONSV
             np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("lt,rt", [(NEAREST_SM, NEAREST_SM),
+                                   (FURTHEST_EQ, NEAREST_SM)])
+def test_local_indexing(mesh8, lt, rt):
+    """``indexing='local'`` (reference ``local_indexing``,
+    include/ansv_common.hpp:20-25) decomposes every global match into
+    (rank, local_idx, value): rank*s + local_idx == the global match, and
+    the value equals the array element there — the match is readable with
+    no further communication, like the reference's lr_mins entries."""
+    from psac_tpu.parallel.ansv import ansv
+    from psac_tpu.parallel.mesh import num_shards, padded_size
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 8, size=777).astype(np.int32)
+    n = len(a)
+    s = padded_size(n, num_shards(mesh8)) // num_shards(mesh8)
+    want_l, want_r = ansv(a, lt, rt, mesh=mesh8)
+    (lrank, lloc, lv), (rrank, rloc, rv) = ansv(a, lt, rt, mesh=mesh8,
+                                                indexing="local")
+    for want, rank, loc, val in ((want_l, lrank, lloc, lv),
+                                 (want_r, rrank, rloc, rv)):
+        miss = want == n
+        np.testing.assert_array_equal(rank[miss], -1)
+        np.testing.assert_array_equal(loc[miss], n)
+        np.testing.assert_array_equal(val[miss], 0)
+        np.testing.assert_array_equal(rank[~miss] * s + loc[~miss],
+                                      want[~miss])
+        np.testing.assert_array_equal(val[~miss], a[want[~miss]])
