@@ -13,7 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
 ("dna"|"repetitive"|"text"|"textmix"|"bytes"), PSAC_BENCH_FACTOR
 (dense prefix-L-pling factor, default SAConfig.dense_factor),
-PSAC_BENCH_RESOLVE_DIV (LCP-resolve chunk divisor).
+PSAC_BENCH_RESOLVE_DIV (LCP-resolve chunk divisor), PSAC_BENCH_KMER_WORDS (init k-mer words).
 """
 
 import json
@@ -115,6 +115,9 @@ def main():
     if os.environ.get("PSAC_BENCH_RESOLVE_DIV"):
         conf = dataclasses.replace(
             conf, resolve_div=int(os.environ["PSAC_BENCH_RESOLVE_DIV"]))
+    if os.environ.get("PSAC_BENCH_KMER_WORDS"):
+        conf = dataclasses.replace(
+            conf, kmer_words=int(os.environ["PSAC_BENCH_KMER_WORDS"]))
     for attempt in range(3):
         try:
             xs, alpha, n_, N = encode_and_shard(text, mesh, conf)

@@ -73,6 +73,11 @@ class SAConfig:
     # LCP-resolve chunk divisor of the fused path: chunk = s / resolve_div
     # (measured on the 16 MiB repetitive corpus: 32 beats 16/8/4)
     resolve_div: int = 32
+    # int32 words of the initial k-mer ranking (the reference packs ONE
+    # machine word, include/kmer.hpp:25-40; more words deepen the initial
+    # rank — 3 words = 30 chars for DNA, 12 for byte text — saving a dense
+    # iteration on repeat-heavy corpora at one extra init sort operand)
+    kmer_words: int = 2
 
 
 DEFAULT = SAConfig()

@@ -41,8 +41,7 @@ from jax.sharding import PartitionSpec as P
 from psac_tpu import config as cfg_mod
 from psac_tpu.models.suffix_array import _Builder, _pow2ceil
 from psac_tpu.ops.alphabet import Alphabet
-from psac_tpu.ops.bitops import lcp_bitwise_pair
-from psac_tpu.ops.kmer import optimal_k
+from psac_tpu.ops.bitops import lcp_bitwise_words
 from psac_tpu.parallel.collectives import (
     global_index_base,
     global_shift_left,
@@ -102,8 +101,8 @@ class _GsaBuilder(_Builder):
 
     gsa_mode = True  # eos-aware sparse tail (reference construct_msgs_gsa)
 
-    def __init__(self, mesh, N, k1, k2, bits, with_lcp):
-        super().__init__(mesh, N, k1, k2, bits, with_lcp)
+    def __init__(self, mesh, N, ks, bits, with_lcp):
+        super().__init__(mesh, N, ks, bits, with_lcp)
         shmap = functools.partial(jax.shard_map, mesh=mesh)
         x, r = P(AXIS), P()
         self._init = jax.jit(shmap(
@@ -116,36 +115,40 @@ class _GsaBuilder(_Builder):
 
     def _ginit_local(self, codes_l, eos_l):
         s, p, N = self.s, self.p, self.N
-        k1, k2, bits = self.k1, self.k2, self.bits
-        halo = halo_from_right(codes_l, k1 + k2 - 1, p)
+        ks, bits = self.ks, self.bits
+        halo = halo_from_right(codes_l, sum(ks) - 1, p)
         win = jnp.concatenate([codes_l, halo])
         gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
-        hi = jnp.zeros((s,), jnp.int32)
-        for j in range(k1):
-            c = jnp.where(gidx + j < eos_l, win[j:j + s], 0)
-            hi = (hi << bits) | c
-        lo = jnp.zeros((s,), jnp.int32)
-        for j in range(k1, k1 + k2):
-            c = jnp.where(gidx + j < eos_l, win[j:j + s], 0)
-            lo = (lo << bits) | c
+        words = []
+        off = 0
+        for kw in ks:
+            w = jnp.zeros((s,), jnp.int32)
+            for j in range(off, off + kw):
+                c = jnp.where(gidx + j < eos_l, win[j:j + s], 0)
+                w = (w << bits) | c
+            words.append(w)
+            off += kw
         rem = eos_l - gidx
-        # padding rows (hi == 0: only all-past-end windows; real suffixes
+        # padding rows (word0 == 0: only all-past-end windows; real suffixes
         # start with a char >= 1): unique final ranks before all real rows
-        lo = jnp.where(hi == 0, jnp.int32(N) - gidx, lo)
-        hi_s, lo_s, sa, rem_s = dist_sort_local((hi, lo, gidx, rem), num_keys=3, p=p)
-        ph = halo_from_left(hi_s, 1, p, fill=-1)
-        pl = halo_from_left(lo_s, 1, p, fill=-1)
+        words[-1] = jnp.where(words[0] == 0, jnp.int32(N) - gidx, words[-1])
+        sorted_ops = dist_sort_local(tuple(words) + (gidx, rem),
+                                     num_keys=len(words) + 1, p=p)
+        sa, rem_s = sorted_ops[-2], sorted_ops[-1]
+        wsort = sorted_ops[:-2]
+        prevs = tuple(
+            jnp.concatenate([halo_from_left(w, 1, p, fill=-1), w[:-1]])
+            for w in wsort)
         pr = halo_from_left(rem_s, 1, p, fill=0)
-        prev_hi = jnp.concatenate([ph, hi_s[:-1]])
-        prev_lo = jnp.concatenate([pl, lo_s[:-1]])
         prev_rem = jnp.concatenate([pr, rem_s[:-1]])
-        newb = (hi_s != prev_hi) | (lo_s != prev_lo)
+        newb = functools.reduce(
+            jnp.logical_or, (w != pw for w, pw in zip(wsort, prevs)))
         isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         # row-aligned end-of-string bound for direct tail entry
         eos_row = sa + rem_s
         outs = (isa_new, sa)
         if self.with_lcp:
-            lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
+            lcpv = lcp_bitwise_words(prevs, wsort, ks, bits)
             lcpv = jnp.minimum(jnp.minimum(lcpv.astype(jnp.int32), prev_rem), rem_s)
             lcp0 = jnp.where(newb, lcpv, jnp.int32(N))
             lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
@@ -345,13 +348,14 @@ def build_gsa_device(strings, mesh=None,
     xs, eos = _gsa_inputs_fn(mesh, N, M, p)(xb, d_map, d_starts, d_ends,
                                             jnp.int32(n))
 
-    k1, k2 = optimal_k(alpha.bits_per_char)
-    key = (mesh_key(mesh), N, k1, k2, alpha.bits_per_char, config.construct_lcp)
+    from psac_tpu.models.suffix_array import kmer_words_for
+    ks = kmer_words_for(alpha.bits_per_char, config)
+    key = (mesh_key(mesh), N, ks, alpha.bits_per_char, config.construct_lcp)
     if key not in _GSA_BUILDER_CACHE:
         if len(_GSA_BUILDER_CACHE) > 64:
             _GSA_BUILDER_CACHE.clear()
         _GSA_BUILDER_CACHE[key] = _GsaBuilder(
-            mesh, N, k1, k2, alpha.bits_per_char, config.construct_lcp)
+            mesh, N, ks, alpha.bits_per_char, config.construct_lcp)
     b = _GSA_BUILDER_CACHE[key]
 
     if config.fused:
@@ -387,7 +391,7 @@ def build_gsa_device(strings, mesh=None,
         lcp = None
     ue = int(ue)
 
-    d = k1 + k2
+    d = sum(ks)
     tail_limit = int(N * config.tail_threshold_frac)
     while ue > 0:
         if d >= 4 * N:

@@ -46,7 +46,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from psac_tpu import config as cfg_mod
 from psac_tpu.ops.alphabet import Alphabet
-from psac_tpu.ops.bitops import lcp_bitwise_pair
+from psac_tpu.ops.bitops import lcp_bitwise_words
 from psac_tpu.ops.kmer import optimal_k, pack_kmers_local
 from psac_tpu.ops.rmq import build_local_rmq, query_local_rmq
 from psac_tpu.parallel.collectives import (
@@ -117,13 +117,13 @@ def _pow2ceil(x: int) -> int:
 class _Builder:
     """Holds the mesh geometry and the jitted construction steps."""
 
-    def __init__(self, mesh, N: int, k1: int, k2: int, bits: int, with_lcp: bool,
-                 idt=jnp.int32):
+    def __init__(self, mesh, N: int, ks: tuple[int, ...], bits: int,
+                 with_lcp: bool, idt=jnp.int32):
         self.mesh = mesh
         self.p = num_shards(mesh)
         self.N = N
         self.s = N // self.p
-        self.k1, self.k2, self.bits = k1, k2, bits
+        self.ks, self.bits = tuple(ks), bits
         self.with_lcp = with_lcp
         # index dtype (the reference's index_t template parameter,
         # include/suffix_array.hpp:170): int64 for texts >= 2^30 chars; all
@@ -149,30 +149,34 @@ class _Builder:
 
     def _init_local(self, codes_l, n_real):
         s, p, N = self.s, self.p, self.N
-        k1, k2, bits = self.k1, self.k2, self.bits
+        ks, bits = self.ks, self.bits
         idt = self.idt
-        halo = halo_from_right(codes_l, k1 + k2 - 1, p)
-        hi, lo = pack_kmers_local(jnp.concatenate([codes_l, halo]), s, k1, k2, bits)
+        halo = halo_from_right(codes_l, sum(ks) - 1, p)
+        words = pack_kmers_local(jnp.concatenate([codes_l, halo]), s, ks, bits)
         gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
-        # Padding suffixes (all-0 windows <=> hi == 0; real suffixes always
-        # have hi >= 1) are content-indistinguishable at any doubling
+        # Padding suffixes (all-0 windows <=> first word == 0, since 0-chars
+        # only occur as a suffix of the padded text; real suffixes always
+        # have word0 >= 1) are content-indistinguishable at any doubling
         # distance, so give them their final ranks now: all-sentinel suffixes
         # order by descending position (shorter-is-prefix rule), before every
-        # real suffix. Encode as a unique low key.
-        # pad_rank stays int32: hi==0 rows sit within k + padding of the
+        # real suffix. Encode as a unique low key in the LAST word.
+        # pad_rank stays int32: word0==0 rows sit within k + padding of the
         # global end, so N - gidx < 2^31 on those lanes (others discarded)
         pad_rank = (jnp.asarray(N, idt) - gidx).astype(jnp.int32)
-        lo = jnp.where(hi == 0, pad_rank, lo)
-        hi_s, lo_s, sa = dist_sort_local((hi, lo, gidx), num_keys=3, p=p)
-        ph = halo_from_left(hi_s, 1, p, fill=-1)
-        pl = halo_from_left(lo_s, 1, p, fill=-1)
-        prev_hi = jnp.concatenate([ph, hi_s[:-1]])
-        prev_lo = jnp.concatenate([pl, lo_s[:-1]])
-        newb = (hi_s != prev_hi) | (lo_s != prev_lo)
+        words = words[:-1] + (jnp.where(words[0] == 0, pad_rank, words[-1]),)
+        sorted_ops = dist_sort_local(words + (gidx,), num_keys=len(words) + 1,
+                                     p=p)
+        sa = sorted_ops[-1]
+        wsort = sorted_ops[:-1]
+        prevs = tuple(
+            jnp.concatenate([halo_from_left(w, 1, p, fill=-1), w[:-1]])
+            for w in wsort)
+        newb = functools.reduce(
+            jnp.logical_or, (w != pw for w, pw in zip(wsort, prevs)))
         isa_new, b_new, active, counts = self._rebucket_and_isa(newb, gidx, sa)
         outs = (isa_new, sa)
         if self.with_lcp:
-            lcpv = lcp_bitwise_pair(prev_hi, prev_lo, hi_s, lo_s, k1, k2, bits)
+            lcpv = lcp_bitwise_words(prevs, wsort, ks, bits)
             lcp0 = jnp.where(newb, lcpv.astype(idt), jnp.asarray(N, idt))
             # ranks 0..N-n-1 are the padding suffixes (zeros of length r+...):
             # adjacent all-sentinel suffixes overlap in exactly r chars.
@@ -698,7 +702,7 @@ class _Builder:
             lcp = jnp.zeros((self.s,), idt)  # carried placeholder
         ne = len(extra)
         nb = 3 if self.gsa_mode else 2  # compact tail buffer count
-        d0 = jnp.asarray(self.k1 + self.k2, idt)
+        d0 = jnp.asarray(sum(self.ks), idt)
         max_iters = jnp.int32(max(4, int(N).bit_length() + 2))
         cap_t = jnp.asarray(m_cap, idt)
         cap2_t = jnp.asarray(m_cap2, idt)
@@ -946,13 +950,13 @@ LAST_BUILD: dict = {}
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 
-def _get_builder(mesh, N, k1, k2, bits, with_lcp, idt=jnp.int32) -> _Builder:
+def _get_builder(mesh, N, ks, bits, with_lcp, idt=jnp.int32) -> _Builder:
     """Reuse builders (and their jitted steps) across construction calls."""
-    key = (mesh_key(mesh), N, k1, k2, bits, with_lcp, jnp.dtype(idt).name)
+    key = (mesh_key(mesh), N, tuple(ks), bits, with_lcp, jnp.dtype(idt).name)
     if key not in _BUILDER_CACHE:
         if len(_BUILDER_CACHE) > 64:
             _BUILDER_CACHE.clear()
-        _BUILDER_CACHE[key] = _Builder(mesh, N, k1, k2, bits, with_lcp, idt=idt)
+        _BUILDER_CACHE[key] = _Builder(mesh, N, ks, bits, with_lcp, idt=idt)
     return _BUILDER_CACHE[key]
 
 
@@ -1089,11 +1093,8 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
 def construct_device(xs, alpha, n: int, N: int, mesh,
                      config: cfg_mod.SAConfig = cfg_mod.DEFAULT) -> DeviceSuffixArray:
     """Run the construction loop; inputs/outputs stay device-resident."""
-    k1, k2 = optimal_k(alpha.bits_per_char)
-    if config.k:
-        k1 = min(k1, max(1, config.k // 2))
-        k2 = min(k2, max(1, config.k - k1))
-    k = k1 + k2
+    ks = kmer_words_for(alpha.bits_per_char, config)
+    k = sum(ks)
     bits = alpha.bits_per_char
 
     from psac_tpu.utils.timers import SectionTimer
@@ -1102,12 +1103,32 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
     idt = index_dtype_for(N, config)
     with _x64_ctx(idt):
         return _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
-                                       k, k1, k2, bits, timer)
+                                       k, ks, bits, timer)
+
+
+def kmer_words_for(bits_per_char: int,
+                   config: cfg_mod.SAConfig) -> tuple[int, ...]:
+    """Per-word char counts of the initial k-mer ranking: ``kmer_words``
+    int32 words filled to capacity, optionally capped by an explicit total
+    ``config.k`` (the reference's ``-k`` flag, spread across words)."""
+    ks = list(optimal_k(bits_per_char, words=config.kmer_words))
+    if config.k:
+        rem = max(1, config.k)
+        out = []
+        for i, kw in enumerate(ks):
+            share = max(1, -(-rem // (len(ks) - i)))
+            take = min(kw, share)
+            out.append(take)
+            rem -= take
+            if rem <= 0:
+                break
+        ks = out
+    return tuple(ks)
 
 
 def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
-                            k, k1, k2, bits, timer) -> DeviceSuffixArray:
-    b = _get_builder(mesh, N, k1, k2, bits, config.construct_lcp, idt=idt)
+                            k, ks, bits, timer) -> DeviceSuffixArray:
+    b = _get_builder(mesh, N, ks, bits, config.construct_lcp, idt=idt)
 
     use_fused = config.fused
     if config.construct_lcp:

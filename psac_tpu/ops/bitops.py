@@ -35,9 +35,23 @@ def lcp_bitwise32(a, b, k: int, bits: int):
 
 def lcp_bitwise_pair(ahi, alo, bhi, blo, k1: int, k2: int, bits: int):
     """LCP of two (k1+k2)-char k-mers packed as (hi, lo) int32 pairs."""
-    hi_lcp = lcp_bitwise32(ahi, bhi, k1, bits)
-    lo_lcp = lcp_bitwise32(alo, blo, k2, bits)
-    return jnp.where(ahi == bhi, k1 + lo_lcp, hi_lcp)
+    return lcp_bitwise_words((ahi, alo), (bhi, blo), (k1, k2), bits)
+
+
+def lcp_bitwise_words(a_words, b_words, ks: tuple[int, ...], bits: int):
+    """LCP of two sum(ks)-char k-mers packed as tuples of int32 words
+    (MSB-first word order): accumulate per-word LCPs while all previous
+    words are equal."""
+    lcp = None
+    live = None  # all previous words equal
+    for aw, bw, kw in zip(a_words, b_words, ks):
+        lw = lcp_bitwise32(aw, bw, kw, bits)
+        if lcp is None:
+            lcp, live = lw, aw == bw
+        else:
+            lcp = jnp.where(live, lcp + lw, lcp)
+            live = live & (aw == bw)
+    return lcp
 
 
 def kmer_char_at(kmer, k: int, bits: int, pos):

@@ -18,7 +18,7 @@ def test_lcp_bitwise32_exhaustive_small():
     bits, k = 3, 5
     rng = np.random.RandomState(0)
     codes = rng.randint(1, 5, size=40)
-    hi, _ = pack_kmers_host(codes, k, 1, bits)
+    hi, _ = pack_kmers_host(codes, (k, 1), bits)
     # compare all pairs of kmer words
     for i in range(35):
         for j in range(35):
@@ -31,7 +31,7 @@ def test_lcp_bitwise_pair():
     bits, k1, k2 = 3, 4, 4
     rng = np.random.RandomState(1)
     codes = rng.randint(1, 5, size=60)
-    hi, lo = pack_kmers_host(codes, k1, k2, bits)
+    hi, lo = pack_kmers_host(codes, (k1, k2), bits)
     for i in range(50):
         for j in range(50):
             got = int(lcp_bitwise_pair(jnp.int32(hi[i]), jnp.int32(lo[i]),

@@ -192,7 +192,7 @@ def test_int64_2pow31_shapes(mesh8):
 
     N = 1 << 31
     with _x64_ctx(jnp.int64):
-        b = _Builder(mesh8, N, 10, 10, 3, with_lcp=True, idt=jnp.int64)
+        b = _Builder(mesh8, N, (10, 10), 3, with_lcp=True, idt=jnp.int64)
         codes = jax.ShapeDtypeStruct((N,), jnp.int32)
         nn = jax.ShapeDtypeStruct((), jnp.int64)
         outs = jax.eval_shape(b._init, codes, nn)
@@ -222,3 +222,21 @@ def test_two_stage_tail_big_stage(mesh1):
                          (65536, 2048, 20)]:
         text = rep_dna(n, unit_len=unit, seed=n + unit, mutations=mut)
         check(text, mesh1)
+
+
+@pytest.mark.parametrize("words", [1, 3])
+def test_kmer_words(mesh8, words):
+    """The initial ranking generalizes to W int32 k-mer words (the
+    reference packs one machine word, include/kmer.hpp:25-40; 3 words =
+    30-char DNA init, saving a dense iteration on repeat-heavy corpora):
+    results must be bit-identical to the default 2-word build."""
+    import dataclasses
+
+    from psac_tpu.ops.alphabet import rep_dna
+
+    for text in (rep_dna(5000, unit_len=250, seed=21), rand_dna(4000, seed=22)):
+        want = suffix_array_np(text)
+        conf = dataclasses.replace(SAConfig(), kmer_words=words)
+        res = build_suffix_array(text, mesh=mesh8, config=conf)
+        np.testing.assert_array_equal(res.sa, want)
+        np.testing.assert_array_equal(res.lcp, lcp_kasai(text, want))
