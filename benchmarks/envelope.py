@@ -6,6 +6,11 @@ Modes (select with argv[1]):
   scaling  — virtual CPU mesh p in {1,2,4,8} SA+LCP scaling curve
              (shape-only: CPU timings do not model ICI, but expose
              collective-volume scaling).
+  st       — suffix tree end-to-end + ST-only at 2^24 DNA, per ANSV engine
+             (PSAC_NSV block/scan), plus GSA+GST timing.
+  corpus   — SA+LCP on the repetitive/text/textmix tiers sweeping
+             SAConfig.kmer_words (the W-word initial ranking) and the
+             native SA-IS baseline ratio.
 
 Results are recorded in BASELINE.md.
 """
@@ -125,6 +130,141 @@ def scaling():
     print("done", flush=True)
 
 
+def bench_corpus_text(n, kind):
+    """The bench.py text/textmix stand-in corpora (same seeds)."""
+    import glob
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = []
+    for f in sorted(glob.glob(os.path.join(root, "psac_tpu/**/*.py"),
+                              recursive=True)) + \
+            sorted(glob.glob(os.path.join(root, "*.md"))):
+        with open(f, "rb") as fh:
+            parts.append(fh.read())
+    unit = np.frombuffer(b"".join(parts).replace(b"\x00", b" "), np.uint8)
+    rng = np.random.RandomState(7)
+    if kind == "text":
+        reps = -(-n // len(unit))
+        arr = np.tile(unit, reps)[:n].copy()
+        idx = rng.randint(0, n, max(1, n // 4096))
+        arr[idx] = rng.randint(32, 127, len(idx))
+    else:
+        m = n // 64 + 2
+        lens = rng.randint(64, 513, m)
+        cut = int(np.searchsorted(np.cumsum(lens), n)) + 1
+        lens = lens[:cut]
+        starts = rng.randint(0, len(unit) - 600, len(lens))
+        ends = np.cumsum(lens)
+        begins = ends - lens
+        pos = np.arange(ends[-1], dtype=np.int64)
+        seg = np.searchsorted(ends, pos, side="right")
+        arr = unit[starts[seg] + (pos - begins[seg])][:n].copy()
+    return arr.tobytes()
+
+
+def st():
+    import jax
+    import psac_tpu
+    psac_tpu.enable_compile_cache()
+    from psac_tpu.models.suffix_array import construct_device, encode_and_shard
+    from psac_tpu.models.suffix_tree import construct_suffix_tree_device
+    from psac_tpu.ops.alphabet import rand_dna
+    from psac_tpu.parallel.mesh import make_mesh
+
+    print("devices:", jax.devices(), flush=True)
+    mesh = make_mesh(1)
+    n = 1 << 24
+    text = rand_dna(n, seed=42)
+    xs, alpha, n_, N = encode_and_shard(text, mesh)
+    sync(xs)
+
+    from psac_tpu.parallel.ansv import _engine
+    engine = _engine()
+    # SA+LCP once (shared by both engines)
+    construct_device(xs, alpha, n_, N, mesh)  # warm
+    t0 = time.perf_counter()
+    dsa = construct_device(xs, alpha, n_, N, mesh)
+    sync(dsa.sa)
+    t_sa = time.perf_counter() - t0
+    print(f"[env] SA+LCP 2^24 DNA: {t_sa:.2f}s", flush=True)
+
+    construct_suffix_tree_device(dsa, xs, mesh)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dst = construct_suffix_tree_device(dsa, xs, mesh)
+        sync(dst.nodes)
+        best = min(best, time.perf_counter() - t0)
+        del dst
+    print(f"[env] ST-only ({engine}): {best:.2f}s; end-to-end "
+          f"{t_sa + best:.2f}s", flush=True)
+
+    from psac_tpu.models.gsa import build_gsa_device
+    from psac_tpu.models.suffix_tree import construct_gst_device
+    strings = [rand_dna(4096, seed=i) for i in range(4096)]
+    t0 = time.perf_counter()
+    dgsa = build_gsa_device(strings, mesh=mesh)
+    sync(dgsa.sa)
+    t_gsa0 = time.perf_counter() - t0  # incl. compile
+    t0 = time.perf_counter()
+    dgsa = build_gsa_device(strings, mesh=mesh)
+    sync(dgsa.sa)
+    t_gsa = time.perf_counter() - t0
+    print(f"[env] GSA 4096x4KiB: {t_gsa:.2f}s (cold {t_gsa0:.1f}s)",
+          flush=True)
+    construct_gst_device(dgsa)  # warm
+    t0 = time.perf_counter()
+    dgst = construct_gst_device(dgsa)
+    sync(dgst.nodes)
+    print(f"[env] GST-only: {time.perf_counter() - t0:.2f}s", flush=True)
+    print("done", flush=True)
+
+
+def corpus():
+    import dataclasses
+
+    import jax  # noqa: F401
+    import psac_tpu
+    psac_tpu.enable_compile_cache()
+    from psac_tpu import config as cfg
+    from psac_tpu import native
+    from psac_tpu.ops.alphabet import rep_dna
+    from psac_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    tiers = []
+    sel = os.environ.get("PSAC_ENV_TIERS", "repetitive,text,textmix")
+    if "repetitive" in sel:
+        tiers.append(("repetitive 2^24", rep_dna(1 << 24, seed=0)))
+    if "text" in sel:
+        tiers.append(("text 100MB", bench_corpus_text(100_000_000, "text")))
+    if "textmix" in sel:
+        tiers.append(("textmix 100MB",
+                      bench_corpus_text(100_000_000, "textmix")))
+    words = [int(w) for w in
+             os.environ.get("PSAC_ENV_WORDS", "2,3").split(",")]
+    rdivs = [int(r) for r in
+             os.environ.get("PSAC_ENV_RDIV", "32").split(",")]
+    facs = [int(f) for f in
+            os.environ.get("PSAC_ENV_FACTOR", "4").split(",")]
+    for name, text in tiers:
+        t0 = time.perf_counter()
+        sa_ref = native.suffix_array(text)
+        native.lcp_array(text, sa_ref)
+        base_t = time.perf_counter() - t0
+        del sa_ref
+        print(f"[env] {name}: native SA-IS+Kasai {base_t:.2f}s", flush=True)
+        for w in words:
+            for rd in rdivs:
+                for fa in facs:
+                    conf = dataclasses.replace(cfg.DEFAULT, kmer_words=w,
+                                               resolve_div=rd,
+                                               dense_factor=fa)
+                    dt = time_construct(text, mesh, reps=2, conf=conf)
+                    print(f"[env] {name}: W={w} rdiv={rd} F={fa} {dt:.2f}s "
+                          f"({base_t / dt:.2f}x SA-IS)", flush=True)
+    print("done", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "chip"
-    (chip if mode == "chip" else scaling)()
+    {"chip": chip, "scaling": scaling, "st": st, "corpus": corpus}[mode]()

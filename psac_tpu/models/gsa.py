@@ -48,7 +48,7 @@ from psac_tpu.parallel.collectives import (
     halo_from_left,
     halo_from_right,
 )
-from psac_tpu.parallel.mesh import AXIS, block_sharding, make_mesh, mesh_key, num_shards, padded_size
+from psac_tpu.parallel.mesh import AXIS, make_mesh, mesh_key, num_shards
 from psac_tpu.parallel.sort import dist_sort_local
 
 
@@ -225,7 +225,11 @@ class _GsaBuilder(_Builder):
                            resolve_div: int = 32):
         """One dispatch: masked k-mer init -> dense eos-masked doubling
         (shared ``_fused_drive`` while_loop, traced d) -> eos-aware
-        two-stage sparse tail."""
+        two-stage sparse tail -> sentinel-LCP tiefix.  The tiefix rides the
+        same dispatch (a separate jitted call costs one extra host round
+        trip plus an unfused 16M gather); its routing-overflow count is
+        appended to ``stats`` so the caller can re-run the standalone fix
+        with full capacity in the (p > 1 only) overflow case."""
         idt = self.idt
         m_pad = max(8, self.s // resolve_div)
         outs = self._ginit_local(codes_l, eos_l)
@@ -247,9 +251,17 @@ class _GsaBuilder(_Builder):
                     self._gstep_local(isa, eos_l, d, q=None)
             return isa, sa, lcp, brow, active, (eos_row,), ub, ue, d * 2
 
-        return self._fused_drive(
+        fouts = self._fused_drive(
             (isa, sa, lcp, brow, active, (eos_row,), ub, ue),
             dense_step, m_cap=m_cap, m_cap2=m_cap2)
+        if not self.with_lcp:
+            return fouts[:-1] + (
+                jnp.concatenate([fouts[-1], jnp.zeros((1,), idt)]),)
+        isa, sa, lcp, brow, active, stats = fouts
+        lcp, tovf = _lcp_tiefix_local(lcp, sa, eos_l, s=self.s, p=self.p,
+                                      N=self.N, capscale=6)
+        stats = jnp.concatenate([stats, tovf.astype(idt)[None]])
+        return isa, sa, lcp, brow, active, stats
 
 
 _GSA_BUILDER_CACHE: dict = {}
@@ -310,7 +322,9 @@ def _lcp_tiefix_local(lcp_l, sa_l, eos_l, *, s: int, p: int, N: int,
     (eos_at_sa,), ovf = route_apply((sa_l,), dest, gather, (jnp.int32,), p,
                                     cap=cap_for(s, p, capscale), skip=~need,
                                     with_overflow=True)
-    return jnp.where(need, eos_at_sa - sa_l, lcp_l), ovf
+    # dropped (overflowed) rows answer 0; a real answer is >= 1 (eos > sa),
+    # so they keep the N sentinel and a full-capacity retry can find them
+    return jnp.where(need & (eos_at_sa > 0), eos_at_sa - sa_l, lcp_l), ovf
 
 
 def build_gsa_device(strings, mesh=None,
@@ -325,14 +339,17 @@ def build_gsa_device(strings, mesh=None,
     if n >= (1 << 30):
         # same int32 index ceiling as the SA path (encode_and_shard)
         raise ValueError(f"string set too large for int32 indexes: {n}")
-    alpha = Alphabet.from_bytes(flat)
-    N = padded_size(max(n, 1), p, multiple=8)
     # ship raw uint8 text + the (m,) string ends; decode codes and expand
     # the per-position eos array ON DEVICE (host->device bandwidth is the
     # binding cost on remote transports; eos as int32 would double the
-    # volume and bytes are 4x smaller than codes)
-    padded = np.zeros(N, np.uint8)
-    padded[:n] = np.frombuffer(flat, np.uint8)
+    # volume and bytes are 4x smaller than codes).  Per-shard staging +
+    # a device-side alphabet histogram keep the host path O(n/p)-light
+    # (a host bincount costs ~0.1 s warm / 1-3 s first-touch at 16 MiB).
+    from psac_tpu.parallel.staging import stage_bytes_block, staged_histogram
+
+    xb, n, N = stage_bytes_block(flat, mesh)
+    hist = staged_histogram(xb, mesh)
+    alpha = Alphabet.from_hist(hist, pad_zeros=N - n)
     m = len(lens)
     M = _pow2ceil(max(m, 1))
     ends_np = np.cumsum(lens).astype(np.int32)
@@ -340,7 +357,6 @@ def build_gsa_device(strings, mesh=None,
     starts_p[:m] = (ends_np - lens).astype(np.int32)
     ends_p = np.zeros(M, np.int32)
     ends_p[:m] = ends_np
-    xb = jax.device_put(padded, block_sharding(mesh))
     rep = jax.sharding.NamedSharding(mesh, P())
     d_map = jax.device_put(alpha.mapping.astype(np.int32), rep)
     d_starts = jax.device_put(starts_p, rep)
@@ -370,10 +386,12 @@ def build_gsa_device(strings, mesh=None,
         else:
             isa, sa, brow, _active, stats = fouts
             lcp = None
-        ub_f, ue_f, tail_ran, _d_out = (int(v) for v in
-                                        np.asarray(jax.device_get(stats)))
+        ub_f, ue_f, tail_ran, _d_out, tie_ovf = (
+            int(v) for v in np.asarray(jax.device_get(stats)))
         if ue_f == 0:
-            if config.construct_lcp:
+            if config.construct_lcp and tie_ovf > 0:
+                # p > 1 only: the in-dispatch tiefix dropped rows; they kept
+                # the N sentinel, so the full-capacity pass finds them
                 lcp = _gsa_tiefix(lcp, sa, eos, b, mesh, p, N, config)
             return DeviceGSA(sa=sa, lcp=lcp, eos=eos, xs=xs, alphabet=alpha,
                              lens=lens, n=n, N=N, mesh=mesh)

@@ -1073,11 +1073,15 @@ def encode_and_shard(text: bytes | np.ndarray, mesh,
             np.asarray(text).dtype == np.uint8:
         # ship raw uint8 and decode on-device: host->device bandwidth is the
         # binding setup cost on remote transports, and bytes are 4x smaller
-        # than int32 codes; per-shard staging avoids a full padded host copy
-        from psac_tpu.parallel.staging import stage_bytes_block
+        # than int32 codes; per-shard staging avoids a full padded host copy.
+        # The alphabet histogram also runs on device (a host bincount of the
+        # full text costs ~0.1 s warm and 1-3 s on its first touch of a
+        # fresh 100 MB buffer on this host class).
+        from psac_tpu.parallel.staging import stage_bytes_block, staged_histogram
 
-        alpha = Alphabet.from_bytes(text)
         xb, n, N = stage_bytes_block(text, mesh)
+        hist = staged_histogram(xb, mesh)
+        alpha = Alphabet.from_hist(hist, pad_zeros=N - n)
         xs = _decode_staged(xb, alpha, mesh)
     else:
         alpha = IntAlphabet.from_array(text)

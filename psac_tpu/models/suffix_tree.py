@@ -36,7 +36,12 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from psac_tpu.models.suffix_array import DeviceSuffixArray, construct_device, encode_and_shard
+from psac_tpu.models.suffix_array import (
+    DeviceSuffixArray,
+    _pow2ceil,
+    construct_device,
+    encode_and_shard,
+)
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
 from psac_tpu.parallel.ansv import NONSV, ansv_local
 from psac_tpu.parallel.collectives import global_index_base, halo_from_right
@@ -149,7 +154,7 @@ def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int,
 
 
 def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
-               capscale: int | None = None):
+               dlr_cap: int, capscale: int | None = None):
     """Generalized suffix tree node table (reference ``construct_gst``,
     ``include/suffix_tree.hpp:521-608``): sigma+2 slots per node; slots 0-1
     hold the (min, max) child-id range of all ``$``-edges (one string may
@@ -160,7 +165,10 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
     width = sigma + 2
     INF = jnp.iinfo(jnp.int32).max
 
-    eos_at, ovf1 = _gather_from(eos_l, savals, valid, s, p, capscale)
+    # both edge blocks share sa_l as their gather index: gather once
+    vhalf = valid[:s] | valid[s:]
+    eos_half, ovf1 = _gather_from(eos_l, sa_l, vhalf, s, p, capscale)
+    eos_at = jnp.concatenate([eos_half, eos_half])
     char_idx = savals + elcp
     dollar = char_idx >= eos_at
     rootdrop = elcp == 0
@@ -169,23 +177,36 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
 
     ch, ovf2 = _gather_from(xs_l, char_idx, valid_reg, s, p, capscale)
 
-    nodes = jnp.zeros((s * width,), jnp.int32)
-    idx0 = jnp.arange(s, dtype=jnp.int32) * width
-    nodes = nodes.at[idx0].set(INF)  # slot 0 accumulates a min
+    # slot 0 accumulates a min: initialize via an elementwise iota mask (a
+    # 16M strided scatter costs ~10x one pass over the table)
+    slot0 = jnp.arange(s * width, dtype=jnp.int32) % width == 0
+    nodes = jnp.where(slot0, INF, 0).astype(jnp.int32)
 
     scap = cap_for(parents.shape[0], p, capscale)
     flat_reg = parents * jnp.int32(width) + ch + 1
     (nodes,), ovf3 = route_scatter(flat_reg, (childs,), (nodes,), valid_reg,
                                    s * width, p, cap=scap, with_overflow=True)
-    flat_d0 = parents * jnp.int32(width)
-    (nodes,), ovf4 = route_scatter(flat_d0, (childs,), (nodes,), valid_dlr,
-                                   s * width, p, combine=("min",), cap=scap,
+    # ``$``-edges are rare (bounded by suffixes that fully match another
+    # suffix's prefix): compact them to ``dlr_cap`` rows before the min/max
+    # scatters — a min/max scatter pays all 2s rows otherwise (~4 s at 16M
+    # on TPU, where scatter-combine lowers far slower than scatter-set).
+    # Overflow joins the capscale retry (which re-enters with dlr_cap = 2s).
+    key_d = jnp.where(valid_dlr, parents * jnp.int32(width), INF)
+    key_c, child_c = lax.sort((key_d, childs), num_keys=1)
+    key_c, child_c = key_c[:dlr_cap], child_c[:dlr_cap]
+    valid_c = key_c != INF
+    n_dlr = jnp.sum(valid_dlr.astype(jnp.int32))
+    ovf_c = lax.psum(jnp.maximum(n_dlr - jnp.int32(dlr_cap), 0), AXIS)
+    flat_d0 = jnp.where(valid_c, key_c, 0)
+    dcap = cap_for(dlr_cap, p, capscale)
+    (nodes,), ovf4 = route_scatter(flat_d0, (child_c,), (nodes,), valid_c,
+                                   s * width, p, combine=("min",), cap=dcap,
                                    with_overflow=True)
-    (nodes,), ovf5 = route_scatter(flat_d0 + 1, (childs,), (nodes,), valid_dlr,
-                                   s * width, p, combine=("max",), cap=scap,
+    (nodes,), ovf5 = route_scatter(flat_d0 + 1, (child_c,), (nodes,), valid_c,
+                                   s * width, p, combine=("max",), cap=dcap,
                                    with_overflow=True)
-    nodes = nodes.at[idx0].set(jnp.where(nodes[idx0] == INF, 0, nodes[idx0]))
-    return nodes, ovf + ovf1 + ovf2 + ovf3 + ovf4 + ovf5
+    nodes = jnp.where(slot0 & (nodes == INF), 0, nodes)
+    return nodes, ovf + ovf1 + ovf2 + ovf3 + ovf4 + ovf5 + ovf_c
 
 
 _ST_CACHE: dict = {}
@@ -243,17 +264,29 @@ def construct_gst_device(dgsa) -> DeviceSuffixTree:
     p = num_shards(mesh)
     s = dgsa.N // p
     sigma = dgsa.alphabet.sigma
-    for capscale in (6, None):
-        key = (mesh_key(mesh), dgsa.N, dgsa.n, sigma, capscale)
+    m = max(1, len(dgsa.lens))
+    # first-try $-edge compaction capacity.  Random string sets produce
+    # ~log_sigma(n) $-leaves PER STRING (every suffix short enough to match
+    # another suffix's prefix gets one), so size by a generous multiple of
+    # m; a middle rung covers heavy-duplication sets, and the final rung is
+    # the exact worst case 2s (correct but pays the slow full-width
+    # min/max scatters).
+    dlr0 = min(2 * s, max(1 << 16, 16 * _pow2ceil(m)))
+    ladder = [(6, dlr0)]
+    if 64 * dlr0 < 2 * s:
+        ladder.append((None, 64 * dlr0))
+    ladder.append((None, 2 * s))
+    for i, (capscale, dlr_cap) in enumerate(ladder):
+        key = (mesh_key(mesh), dgsa.N, dgsa.n, sigma, capscale, dlr_cap)
         if key not in _GST_CACHE:
             fn = jax.shard_map(
                 functools.partial(_gst_local, s=s, p=p, n=dgsa.n, sigma=sigma,
-                                  capscale=capscale),
+                                  dlr_cap=dlr_cap, capscale=capscale),
                 mesh=mesh, in_specs=(P(AXIS),) * 4,
                 out_specs=(P(AXIS), P()))
             _GST_CACHE[key] = jax.jit(fn)
         nodes, ovf = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
-        if capscale is None or p == 1 or int(ovf) == 0:
+        if i == len(ladder) - 1 or int(ovf) == 0:
             break
     return DeviceSuffixTree(nodes=nodes, sigma=sigma + 1, n=dgsa.n, N=dgsa.N)
 

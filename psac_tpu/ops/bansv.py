@@ -189,7 +189,9 @@ def _run_heads(x, psv):
     seg = (k1s != prev1) | (k2s != prev2)
     start_pos = lax.cummax(jnp.where(seg, gidx, -1))
     h_sorted = gs[jnp.maximum(start_pos, 0)]  # monotone gather
-    return jnp.zeros((s,), jnp.int32).at[gs].set(h_sorted)
+    # un-permute by sorting on gs (a permutation): ~2x faster than the
+    # equivalent .at[gs].set inverse-permutation scatter on TPU
+    return lax.sort((gs, h_sorted), num_keys=1)[1]
 
 
 def nsv_left(x, typ: int):
