@@ -198,6 +198,30 @@ def st():
     print(f"[env] ST-only ({engine}): {best:.2f}s; end-to-end "
           f"{t_sa + best:.2f}s", flush=True)
 
+    # ANSV-only breakdown on the real LCP input (the ST types)
+    import functools
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
+    from psac_tpu.parallel.ansv import ansv_local
+    from psac_tpu.parallel.mesh import AXIS
+
+    fn = jax.jit(jax.shard_map(
+        functools.partial(ansv_local, s=N, p=1, left_type=FURTHEST_EQ,
+                          right_type=NEAREST_SM),
+        mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS),) * 4 + (P(),)))
+    lcp32 = dsa.lcp.astype(jnp.int32)
+    sync(fn(lcp32)[0])  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = fn(lcp32)
+        sync(outs[0])
+        best = min(best, time.perf_counter() - t0)
+    print(f"[env] ANSV-only ({engine}, FURTHEST_EQ/NEAREST_SM): "
+          f"{best:.2f}s", flush=True)
+
     from psac_tpu.models.gsa import build_gsa_device
     from psac_tpu.models.suffix_tree import construct_gst_device
     strings = [rand_dna(4096, seed=i) for i in range(4096)]
@@ -266,5 +290,7 @@ def corpus():
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "chip"
-    {"chip": chip, "scaling": scaling, "st": st, "corpus": corpus}[mode]()
+    modes = (sys.argv[1] if len(sys.argv) > 1 else "chip").split(",")
+    for mode in modes:  # comma-separated modes share one process (one
+        # tunnel setup + one persistent-cache namespace)
+        {"chip": chip, "scaling": scaling, "st": st, "corpus": corpus}[mode]()
