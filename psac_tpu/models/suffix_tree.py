@@ -143,13 +143,16 @@ def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int,
     ch, ovf_g = _gather_from(xs_l, char_idx, valid & ~dollar, s, p, capscale)
     slot = jnp.where(dollar, 0, ch)
 
-    # ---- scatter child ids into the flat (N, sigma+1) node table ----------
+    # ---- scatter child ids into the (N rows, sigma+1 slots) node table ----
+    # routed by (node row, slot): the flat global index N*(sigma+1) (the
+    # reference's uint64-addressed table, include/suffix_tree.hpp:479)
+    # never materializes, so byte-alphabet texts need no int64 promotion
     width = sigma + 1
-    flat_dest = parents * jnp.int32(width) + slot
     nodes = jnp.zeros((s * width,), jnp.int32)
     (nodes,), ovf_s = route_scatter(
-        flat_dest, (childs,), (nodes,), valid, s * width, p,
-        cap=cap_for(flat_dest.shape[0], p, capscale), with_overflow=True)
+        parents, (childs,), (nodes,), valid, s, p,
+        cap=cap_for(parents.shape[0], p, capscale), with_overflow=True,
+        width=width, slots=slot)
     return nodes, ovf + ovf_g + ovf_s
 
 
@@ -183,30 +186,47 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
     nodes = jnp.where(slot0, INF, 0).astype(jnp.int32)
 
     scap = cap_for(parents.shape[0], p, capscale)
-    flat_reg = parents * jnp.int32(width) + ch + 1
-    (nodes,), ovf3 = route_scatter(flat_reg, (childs,), (nodes,), valid_reg,
-                                   s * width, p, cap=scap, with_overflow=True)
+    # routed by (node row, slot) — see route_scatter: no flat N*width index
+    (nodes,), ovf3 = route_scatter(parents, (childs,), (nodes,), valid_reg,
+                                   s, p, cap=scap, with_overflow=True,
+                                   width=width, slots=ch + 1)
     # ``$``-edges are rare (bounded by suffixes that fully match another
     # suffix's prefix): compact them to ``dlr_cap`` rows before the min/max
     # scatters — a min/max scatter pays all 2s rows otherwise (~4 s at 16M
     # on TPU, where scatter-combine lowers far slower than scatter-set).
     # Overflow joins the capscale retry (which re-enters with dlr_cap = 2s).
-    key_d = jnp.where(valid_dlr, parents * jnp.int32(width), INF)
+    key_d = jnp.where(valid_dlr, parents, INF)
     key_c, child_c = lax.sort((key_d, childs), num_keys=1)
     key_c, child_c = key_c[:dlr_cap], child_c[:dlr_cap]
     valid_c = key_c != INF
     n_dlr = jnp.sum(valid_dlr.astype(jnp.int32))
     ovf_c = lax.psum(jnp.maximum(n_dlr - jnp.int32(dlr_cap), 0), AXIS)
-    flat_d0 = jnp.where(valid_c, key_c, 0)
+    row_d = jnp.where(valid_c, key_c, 0)
     dcap = cap_for(dlr_cap, p, capscale)
-    (nodes,), ovf4 = route_scatter(flat_d0, (child_c,), (nodes,), valid_c,
-                                   s * width, p, combine=("min",), cap=dcap,
-                                   with_overflow=True)
-    (nodes,), ovf5 = route_scatter(flat_d0 + 1, (child_c,), (nodes,), valid_c,
-                                   s * width, p, combine=("max",), cap=dcap,
-                                   with_overflow=True)
+    zero_slots = jnp.zeros_like(row_d)
+    (nodes,), ovf4 = route_scatter(row_d, (child_c,), (nodes,), valid_c,
+                                   s, p, combine=("min",), cap=dcap,
+                                   with_overflow=True, width=width,
+                                   slots=zero_slots)
+    (nodes,), ovf5 = route_scatter(row_d, (child_c,), (nodes,), valid_c,
+                                   s, p, combine=("max",), cap=dcap,
+                                   with_overflow=True, width=width,
+                                   slots=zero_slots + 1)
     nodes = jnp.where(slot0 & (nodes == INF), 0, nodes)
     return nodes, ovf + ovf1 + ovf2 + ovf3 + ovf4 + ovf5 + ovf_c
+
+
+def _check_local_table(s: int, width: int, idx_dtype) -> None:
+    """Node scatters route by (row, slot), so only the PER-SHARD flat table
+    index ``s*width`` must fit the local index dtype (int32 builds index
+    locally in int32; int64 builds index in int64, matching the reference's
+    uint64 index_t table, ``include/suffix_tree.hpp:479``).  An s*width
+    beyond int32 on an int32 build means >8 GB of node table per shard —
+    shard over more devices instead."""
+    if s * width >= (1 << 31) and jnp.dtype(idx_dtype) != jnp.int64:
+        raise ValueError(
+            f"per-shard node table s*width = {s * width} exceeds int32 local "
+            f"addressing on an int32 build; use more shards (or force_int64)")
 
 
 _ST_CACHE: dict = {}
@@ -217,14 +237,10 @@ def construct_suffix_tree_device(dsa: DeviceSuffixArray, xs, mesh) -> DeviceSuff
     encoded padded text ``xs`` (as produced by ``encode_and_shard``)."""
     if dsa.lcp is None:
         raise ValueError("suffix tree construction requires the LCP array")
-    if dsa.N * (dsa.alphabet.sigma + 1) >= (1 << 31):
-        # the flat node table indexes (parent*(sigma+1) + slot) are int32
-        raise ValueError(
-            f"suffix tree node table exceeds int32 addressing: "
-            f"N*(sigma+1) = {dsa.N * (dsa.alphabet.sigma + 1)} >= 2^31")
     p = num_shards(mesh)
     s = dsa.N // p
     sigma = dsa.alphabet.sigma
+    _check_local_table(s, sigma + 1, dsa.sa.dtype)
     for capscale in (6, None):
         key = (mesh_key(mesh), dsa.N, dsa.n, sigma, capscale)
         if key not in _ST_CACHE:
@@ -256,14 +272,11 @@ def construct_gst_device(dgsa) -> DeviceSuffixTree:
     """Generalized suffix tree from a device-resident GSA (+GLCP)."""
     if dgsa.lcp is None:
         raise ValueError("GST construction requires the GLCP array")
-    if dgsa.N * (dgsa.alphabet.sigma + 2) >= (1 << 31):
-        raise ValueError(
-            f"GST node table exceeds int32 addressing: "
-            f"N*(sigma+2) = {dgsa.N * (dgsa.alphabet.sigma + 2)} >= 2^31")
     mesh = dgsa.mesh
     p = num_shards(mesh)
     s = dgsa.N // p
     sigma = dgsa.alphabet.sigma
+    _check_local_table(s, sigma + 2, dgsa.sa.dtype)
     m = max(1, len(dgsa.lens))
     # first-try $-edge compaction capacity.  Random string sets produce
     # ~log_sigma(n) $-leaves PER STRING (every suffix short enough to match

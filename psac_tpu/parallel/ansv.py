@@ -367,6 +367,47 @@ def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
 _JIT_CACHE: dict = {}
 
 
+def _ansv_wide(vals, left_type: int, right_type: int, nonsv, indexing: str):
+    """ANSV for values that do not fit int32 (the reference's ``ansv`` is
+    templated over T, ``include/ansv.hpp:2042-2051``): the dtype-generic
+    hierarchical-window walk engine on a single shard under a scoped x64
+    context.  The distributed int32 pipeline's routed answers are
+    int32-typed, so wide *values* (as opposed to wide indexes, which the
+    int64 builds handle) take this path instead of being silently
+    truncated."""
+    from psac_tpu.models.suffix_array import _x64_ctx
+
+    n = len(vals)
+    sent = n if nonsv is None else nonsv
+    with _x64_ctx(np.int64):
+        x = jnp.asarray(np.asarray(vals, np.int64))
+        lidx, lval = _left_match_local_only(x, n, left_type)
+        ridx_r, rval_r = _left_match_local_only(x[::-1], n, right_type)
+        lidx, lval, ridx_r, rval_r = jax.device_get(
+            (lidx, lval, ridx_r, rval_r))
+    left = np.asarray(lidx).astype(np.int64)
+    lmiss = left == NONSV
+    rr = np.asarray(ridx_r).astype(np.int64)
+    rmiss = (rr == NONSV)[::-1].copy()
+    right = np.where(rr == NONSV, NONSV, n - 1 - rr)[::-1].copy()
+    left[lmiss] = sent
+    right[rmiss] = sent
+    if indexing == "global":
+        return left, right
+    if indexing != "local":
+        raise ValueError(f"indexing must be 'global' or 'local': {indexing}")
+    lv = np.asarray(lval).astype(np.int64)
+    rv = np.asarray(rval_r).astype(np.int64)[::-1].copy()
+    lv[lmiss] = 0
+    rv[rmiss] = 0
+    # single shard: rank 0 everywhere, local index = global index
+    lrank = np.where(lmiss, -1, 0)
+    rrank = np.where(rmiss, -1, 0)
+    lloc = np.where(lmiss, sent, left)
+    rloc = np.where(rmiss, sent, right)
+    return (lrank, lloc, lv), (rrank, rloc, rv)
+
+
 def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
          mesh=None, nonsv: int | None = None, indexing: str = "global"):
     """Distributed ANSV of a host array.
@@ -386,12 +427,17 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
       ``lr_mins`` entries); unmatched elements get rank = -1,
       local_idx = ``nonsv``, value = 0.
     """
+    vals = np.asarray(arr)
+    i32 = np.iinfo(np.int32)
+    if vals.size and (int(vals.min()) < i32.min or int(vals.max()) >= i32.max):
+        # >= max: INT32_INF doubles as the +inf padding sentinel below
+        return _ansv_wide(vals, left_type, right_type, nonsv, indexing)
     mesh = mesh or make_mesh()
     p = num_shards(mesh)
     n = len(arr)
     N = padded_size(max(n, 1), p)
     xp = np.full(N, INT32_INF, np.int32)
-    xp[:n] = np.asarray(arr, np.int32)
+    xp[:n] = vals.astype(np.int32)
     xs = jax.device_put(xp, block_sharding(mesh))
 
     s = N // p

@@ -145,7 +145,7 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int,
 
 def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int,
                   combine: tuple | None = None, cap: int | None = None,
-                  with_overflow: bool = False):
+                  with_overflow: bool = False, width: int = 1, slots=None):
     """One-way scatter: targets[k][dest_idx[j] - shard_base] = values[k][j] at the owner.
 
     ``dest_idx`` are *global* element indices; records with ``valid`` False are
@@ -153,15 +153,37 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     last-writer), "min", or "max" (used by the GST's ``$``-edge leaf-range
     slots). ``cap``/``with_overflow`` as in ``route_apply``. Returns the
     updated target arrays (each (s,) local).
+
+    With ``width > 1``, ``dest_idx`` are global *row* indices over N = s*p
+    rows, ``slots`` (m,) holds each record's column in [0, width), and each
+    target is a (s*width,) row-major local table; the write lands at
+    (row - shard_base)*width + slot.  Routing by (row, slot) keeps every
+    shipped quantity within the row-index dtype: the flat global index
+    N*width (the reference's uint64-addressed node table,
+    ``include/suffix_tree.hpp:479``) never materializes, so byte-alphabet
+    suffix trees need no int64 promotion.  The local flat index is computed
+    in int64 when ``s*width`` exceeds int32.
     """
     m = dest_idx.shape[0]
     safe_idx = jnp.where(valid, dest_idx, 0)
     combine = combine or ("set",) * len(targets)
+    tgt_len = s * width
+    # local flat-index dtype: wide tables index in int64 (x64 builds only)
+    ldt = jnp.int32 if tgt_len < (1 << 31) else \
+        jax.dtypes.canonicalize_dtype(jnp.int64)
+    if slots is None:
+        slots = jnp.zeros((m,), jnp.int32)
+
+    def local_flat(row, slot):
+        if width == 1:
+            return row.astype(ldt)
+        return row.astype(ldt) * width + slot.astype(ldt)
+
     if p == 1:
-        # invalid records land on the drop slot s, so no old-value reads.
-        # NB: separate 1-D scatters — a multi-column row scatter lowers
-        # ~13x slower on TPU for large targets.
-        loc = jnp.where(valid, safe_idx, s)
+        # invalid records land on the drop slot tgt_len, so no old-value
+        # reads.  NB: separate 1-D scatters — a multi-column row scatter
+        # lowers ~13x slower on TPU for large targets.
+        loc = jnp.where(valid, local_flat(safe_idx, slots), tgt_len)
         outs = []
         for tgt, v, how in zip(targets, values, combine):
             padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
@@ -173,7 +195,7 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
                 padded = padded.at[loc].max(v)
             else:
                 raise ValueError(how)
-            outs.append(padded[:s])
+            outs.append(padded[:tgt_len])
         if with_overflow:
             return tuple(outs), jnp.int32(0)
         return tuple(outs)
@@ -190,6 +212,8 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
             x[order])[:buf_len]
 
     sent = (to_buf(safe_idx),) + tuple(to_buf(v) for v in values)
+    if width > 1:
+        sent += (to_buf(slots),)
     sent_valid = jnp.zeros((buf_len + 1,), jnp.bool_).at[flat_pos].set(
         valid[order])[:buf_len]
 
@@ -199,12 +223,14 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
     # int64 so shard_base can exceed 2^31 (stays int32 without x64)
     base = lax.axis_index(AXIS).astype(
         jax.dtypes.canonicalize_dtype(jnp.int64)) * s
-    loc = recv[0] - base
-    loc = jnp.where(recv_valid, loc, s)  # out-of-range drop slot
+    row = recv[0] - base
+    loc = local_flat(row, recv[-1] if width > 1 else None)
+    loc = jnp.where(recv_valid, loc, tgt_len)  # out-of-range drop slot
+    vals_recv = recv[1:-1] if width > 1 else recv[1:]
     outs = []
-    for tgt, v, how in zip(targets, recv[1:], combine):
+    for tgt, v, how in zip(targets, vals_recv, combine):
         padded = jnp.concatenate([tgt, jnp.zeros((1,), tgt.dtype)])
-        # invalid records land on the drop slot s; no old-value reads needed
+        # invalid records land on the drop slot; no old-value reads needed
         if how == "set":
             padded = padded.at[loc].set(v)
         elif how == "min":
@@ -213,7 +239,7 @@ def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int
             padded = padded.at[loc].max(v)
         else:
             raise ValueError(how)
-        outs.append(padded[:s])
+        outs.append(padded[:tgt_len])
     if with_overflow:
         novf = lax.psum(jnp.sum(ovf.astype(jnp.int32)), AXIS)
         return tuple(outs), novf

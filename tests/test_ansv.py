@@ -246,6 +246,36 @@ def test_block_engine_small_blocks(typ, monkeypatch):
 
 
 @pytest.mark.parametrize("lt,rt", [(NEAREST_SM, NEAREST_SM),
+                                   (FURTHEST_EQ, NEAREST_EQ)])
+def test_wide_values(lt, rt):
+    """Values beyond int32 must not be silently truncated (the reference's
+    ansv is templated over T, include/ansv.hpp:2042-2051): the public
+    ansv() routes them through the dtype-generic walk path."""
+    from psac_tpu.parallel.ansv import ansv
+
+    rng = np.random.RandomState(9)
+    a = (rng.randint(0, 2**31, size=333).astype(np.int64) << 10) + 5
+    a[::7] = a[3]  # equal runs for the *_eq semantics
+    cases = [a, np.full(50, np.int64(1) << 35),
+             np.array([2**33, 5, 2**34, 2**34, 7, 2**33], np.int64)]
+    for arr in cases:
+        n = len(arr)
+        want_l, want_r = ansv_seq(arr, lt, rt, nonsv=n)
+        got_l, got_r = ansv(arr, lt, rt)
+        np.testing.assert_array_equal(got_l, want_l)
+        np.testing.assert_array_equal(got_r, want_r)
+        (lrank, lloc, lv), (rrank, rloc, rv) = ansv(arr, lt, rt,
+                                                    indexing="local")
+        for want, rank, loc, val in ((want_l, lrank, lloc, lv),
+                                     (want_r, rrank, rloc, rv)):
+            miss = want == n
+            np.testing.assert_array_equal(rank[miss], -1)
+            np.testing.assert_array_equal(val[miss], 0)
+            np.testing.assert_array_equal(loc[~miss], want[~miss])
+            np.testing.assert_array_equal(val[~miss], arr[want[~miss]])
+
+
+@pytest.mark.parametrize("lt,rt", [(NEAREST_SM, NEAREST_SM),
                                    (FURTHEST_EQ, NEAREST_SM)])
 def test_local_indexing(mesh8, lt, rt):
     """``indexing='local'`` (reference ``local_indexing``,

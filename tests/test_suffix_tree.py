@@ -58,3 +58,54 @@ def test_st_repeats(mesh8):
     text = b"abc" * 300
     got = build_suffix_tree(text, mesh=mesh8)
     np.testing.assert_array_equal(got, expected_tree(text))
+
+
+def test_st_byte_alphabet(mesh8):
+    """Wide (byte/printable, sigma~=90) alphabets: the node scatter routes
+    by (row, slot), so no flat N*(sigma+1) int32 index exists to overflow
+    (round 3 raised at N*(sigma+1) >= 2^31, i.e. ~8 MiB English text;
+    reference is index_t-templated, include/suffix_tree.hpp:479)."""
+    from psac_tpu.models.suffix_tree import build_suffix_tree
+    rng = np.random.RandomState(17)
+    text = rng.randint(32, 122, size=3000).astype(np.uint8).tobytes()
+    got = build_suffix_tree(text, mesh=mesh8)
+    np.testing.assert_array_equal(got, expected_tree(text))
+
+
+def test_gst_byte_alphabet(mesh8):
+    """Same wide-alphabet coverage for the GST (sigma+2 slots)."""
+    from psac_tpu.models.suffix_tree import build_gst
+
+    from test_gsa import gst_expected  # shared oracle helper (rootdir import)
+    rng = np.random.RandomState(19)
+    parts = [rng.randint(33, 120, size=rng.randint(5, 60)).astype(
+        np.uint8).tobytes() for _ in range(40)]
+    got = build_gst(parts, mesh=mesh8)
+    np.testing.assert_array_equal(got, gst_expected(parts))
+
+
+def test_st_64mib_byte_text_shapes(mesh8):
+    """eval_shape proof: a 64 MiB byte text (sigma=95, the old-gate regime
+    N*(sigma+1) = 2^26*96 >> 2^31) traces through the ST node scatter on an
+    8-shard mesh — the per-shard (s, sigma+1) table is what must fit int32,
+    not the global product."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from psac_tpu.models.suffix_tree import _st_local
+    from psac_tpu.parallel.mesh import AXIS
+
+    N = 1 << 26
+    p = 8
+    s = N // p
+    sigma = 95
+    fn = jax.shard_map(
+        functools.partial(_st_local, s=s, p=p, n=N - 5, sigma=sigma,
+                          capscale=6),
+        mesh=mesh8, in_specs=(P(AXIS),) * 3, out_specs=(P(AXIS), P()))
+    arr = jax.ShapeDtypeStruct((N,), jnp.int32)
+    nodes, ovf = jax.eval_shape(fn, arr, arr, arr)
+    assert nodes.shape == (N * (sigma + 1),) and nodes.dtype == jnp.int32
