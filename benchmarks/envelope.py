@@ -198,7 +198,9 @@ def st():
     print(f"[env] ST-only ({engine}): {best:.2f}s; end-to-end "
           f"{t_sa + best:.2f}s", flush=True)
 
-    # ANSV-only breakdown on the real LCP input (the ST types)
+    # ANSV-only breakdown with the ST's match types, on the raw LCP array
+    # (NOT the padding-masked lcp_adj the ST feeds — equivalent work at
+    # p=1 with no padding, but not byte-identical input)
     import functools
 
     import jax.numpy as jnp
@@ -214,13 +216,17 @@ def st():
     lcp32 = dsa.lcp.astype(jnp.int32)
     sync(fn(lcp32)[0])  # warm
     best = float("inf")
+    ovf = 0
     for _ in range(3):
         t0 = time.perf_counter()
         outs = fn(lcp32)
         sync(outs[0])
         best = min(best, time.perf_counter() - t0)
+        ovf = max(ovf, int(outs[4]))
+    tag = f" [WARNING: {ovf} routing overflows -> results incomplete, " \
+          f"time not comparable]" if ovf else ""
     print(f"[env] ANSV-only ({engine}, FURTHEST_EQ/NEAREST_SM): "
-          f"{best:.2f}s", flush=True)
+          f"{best:.2f}s{tag}", flush=True)
 
     from psac_tpu.models.gsa import build_gsa_device
     from psac_tpu.models.suffix_tree import construct_gst_device
@@ -291,6 +297,13 @@ def corpus():
 
 if __name__ == "__main__":
     modes = (sys.argv[1] if len(sys.argv) > 1 else "chip").split(",")
+    if "scaling" in modes and modes != ["scaling"]:
+        # scaling() must own the process: it sets XLA_FLAGS (host device
+        # count) + jax_platforms=cpu, which only take effect before the JAX
+        # backend initializes — after any other mode it would see 1 device,
+        # and any mode after it would run on CPU
+        raise SystemExit("mode 'scaling' must run alone (its env overrides "
+                         "only apply before JAX backend init)")
     for mode in modes:  # comma-separated modes share one process (one
         # tunnel setup + one persistent-cache namespace)
         {"chip": chip, "scaling": scaling, "st": st, "corpus": corpus}[mode]()

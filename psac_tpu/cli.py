@@ -93,15 +93,20 @@ def cmd_psac(args) -> int:
 
 
 def cmd_gsac(args) -> int:
-    from psac_tpu.models.gsa import build_gsa
+    from psac_tpu.models.gsa import build_gsa, build_gsa_from_file
 
-    text = _load_text(args)
     mesh = _mesh(args)
     t0 = time.time()
-    res = build_gsa(text, mesh=mesh)
+    if getattr(args, "file", None):
+        # staged path: each process reads only its shards' byte ranges
+        # (reference gsac -f parses a distributed file, stringset.hpp:43-152)
+        res = build_gsa_from_file(args.file, mesh=mesh).materialize()
+    else:
+        res = build_gsa(_load_text(args), mesh=mesh)
     _log(f"GSAC time: {(time.time() - t0) * 1000:.1f} ms "
          f"({res.nstrings} strings, {res.n} chars)")
     if args.check:
+        text = _load_text(args)
         parts = [x for x in text.split(b"\n") if x]
         flat = b"".join(parts)
         lens = np.array([len(x) for x in parts], np.int64)

@@ -198,8 +198,16 @@ class DESA:
                   f"avg={tot / p:.0f} "
                   f"imbalance={counts.max() * p / tot:.3f}",
                   file=sys.stderr, flush=True)
-        out = np.stack([np.asarray(jax.device_get(l)),
-                        np.asarray(jax.device_get(r))], axis=1)[:B].astype(np.int64)
+        def fetch(a):
+            # sharded outputs are only partially addressable under
+            # multi-process meshes; gather them collectively there
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                return np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True))
+            return np.asarray(jax.device_get(a))
+
+        out = np.stack([fetch(l), fetch(r)], axis=1)[:B].astype(np.int64)
         out[bad] = 0
         return out
 

@@ -85,10 +85,12 @@ class DeviceGSA:
 
     def materialize(self) -> GeneralizedSuffixArray:
         off = self.N - self.n
-        sa_np = np.asarray(jax.device_get(self.sa), np.int64)[off:]
+        # np.array(copy): device_get of an int64 array returns a read-only
+        # view, and the lcp_np[0] fixup below writes
+        sa_np = np.array(jax.device_get(self.sa), np.int64)[off:]
         lcp_np = None
         if self.lcp is not None:
-            lcp_np = np.asarray(jax.device_get(self.lcp), np.int64)[off:]
+            lcp_np = np.array(jax.device_get(self.lcp), np.int64)[off:]
             if self.n > 0:
                 lcp_np[0] = 0
         return GeneralizedSuffixArray(sa=sa_np, lcp=lcp_np,
@@ -101,8 +103,8 @@ class _GsaBuilder(_Builder):
 
     gsa_mode = True  # eos-aware sparse tail (reference construct_msgs_gsa)
 
-    def __init__(self, mesh, N, ks, bits, with_lcp):
-        super().__init__(mesh, N, ks, bits, with_lcp)
+    def __init__(self, mesh, N, ks, bits, with_lcp, idt=jnp.int32):
+        super().__init__(mesh, N, ks, bits, with_lcp, idt=idt)
         shmap = functools.partial(jax.shard_map, mesh=mesh)
         x, r = P(AXIS), P()
         self._init = jax.jit(shmap(
@@ -116,9 +118,10 @@ class _GsaBuilder(_Builder):
     def _ginit_local(self, codes_l, eos_l):
         s, p, N = self.s, self.p, self.N
         ks, bits = self.ks, self.bits
+        idt = self.idt
         halo = halo_from_right(codes_l, sum(ks) - 1, p)
         win = jnp.concatenate([codes_l, halo])
-        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
         words = []
         off = 0
         for kw in ks:
@@ -130,8 +133,11 @@ class _GsaBuilder(_Builder):
             off += kw
         rem = eos_l - gidx
         # padding rows (word0 == 0: only all-past-end windows; real suffixes
-        # start with a char >= 1): unique final ranks before all real rows
-        words[-1] = jnp.where(words[0] == 0, jnp.int32(N) - gidx, words[-1])
+        # start with a char >= 1): unique final ranks before all real rows.
+        # pad_rank stays int32 (rows sit within k of the global end, see
+        # _init_local)
+        pad_rank = (jnp.asarray(N, idt) - gidx).astype(jnp.int32)
+        words[-1] = jnp.where(words[0] == 0, pad_rank, words[-1])
         sorted_ops = dist_sort_local(tuple(words) + (gidx, rem),
                                      num_keys=len(words) + 1, p=p)
         sa, rem_s = sorted_ops[-2], sorted_ops[-1]
@@ -149,9 +155,9 @@ class _GsaBuilder(_Builder):
         outs = (isa_new, sa)
         if self.with_lcp:
             lcpv = lcp_bitwise_words(prevs, wsort, ks, bits)
-            lcpv = jnp.minimum(jnp.minimum(lcpv.astype(jnp.int32), prev_rem), rem_s)
-            lcp0 = jnp.where(newb, lcpv, jnp.int32(N))
-            lcp0 = jnp.where(gidx == 0, jnp.int32(0), lcp0)
+            lcpv = jnp.minimum(jnp.minimum(lcpv.astype(idt), prev_rem), rem_s)
+            lcp0 = jnp.where(newb, lcpv, jnp.asarray(N, idt))
+            lcp0 = jnp.where(gidx == 0, jnp.asarray(0, idt), lcp0)
             outs = outs + (lcp0,)
         return outs + (b_new, active, eos_row) + counts
 
@@ -171,13 +177,14 @@ class _GsaBuilder(_Builder):
 
     def _gstep_local(self, isa_l, eos_l, *rest, q):
         s, p, N = self.s, self.p, self.N
+        idt = self.idt
         if self.with_lcp:
             lcp_l, d = rest
         else:
             (d,) = rest
-        gidx = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+        gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
         b2 = self._shift(isa_l, d, q)
-        b2 = jnp.where(gidx + d < eos_l, b2, 0)
+        b2 = jnp.where(gidx + d < eos_l, b2, jnp.asarray(0, idt))
         b_s, b2_s, sa, eos_s = dist_sort_local((isa_l, b2, gidx, eos_l),
                                                num_keys=3, p=p)
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
@@ -190,19 +197,18 @@ class _GsaBuilder(_Builder):
         nxt = jnp.concatenate([newb[1:], nxt_halo])
         settled = (newb & nxt) | (b2_s == 0)
         active = ~settled
-        ue = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
+        ue = lax.psum(jnp.sum(active.astype(idt)), AXIS)
         counts = (ue, ue)
         if not self.with_lcp:
             return (isa_new, sa) + (b_new, active, eos_s) + counts
-        from psac_tpu.ops.rmq import INT32_INF
         split = (b_s == pb) & (b2_s != pb2)
         zerocase = split & ((pb2 == 0) | (b2_s == 0))
-        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(jnp.int32), lcp_l)
+        lcp_l = jnp.where(zerocase & (lcp_l == N), d.astype(idt), lcp_l)
         querycase = split & (pb2 != 0) & (b2_s != 0)
         lq = jnp.minimum(pb2, b2_s)
         rq = jnp.maximum(pb2, b2_s) - 1
-        nq = lax.psum(jnp.sum(querycase.astype(jnp.int32)), AXIS)
-        qkey = jnp.where(querycase, gidx, INT32_INF)
+        nq = lax.psum(jnp.sum(querycase.astype(idt)), AXIS)
+        qkey = jnp.where(querycase, gidx, self.INF)
         return (isa_new, sa, lcp_l, qkey, lq, rq, nq) + (b_new, active, eos_s) + counts
 
 
@@ -268,12 +274,12 @@ _GSA_BUILDER_CACHE: dict = {}
 _GSA_INPUT_CACHE: dict = {}
 
 
-def _gsa_inputs_fn(mesh, N: int, M: int, p: int):
+def _gsa_inputs_fn(mesh, N: int, M: int, p: int, idt=jnp.int32):
     """Jitted device-side input prep: decode codes from raw bytes and expand
     the block-sharded per-position ``eos`` from the (M,) replicated string
     boundary arrays (string ends are increasing, so a scatter of end markers
     at each start position + a global cummax yields eos)."""
-    key = (mesh_key(mesh), N, M)
+    key = (mesh_key(mesh), N, M, jnp.dtype(idt).name)
     if key not in _GSA_INPUT_CACHE:
         from psac_tpu.parallel.collectives import global_cummax
         s = N // p
@@ -283,10 +289,11 @@ def _gsa_inputs_fn(mesh, N: int, M: int, p: int):
             base = global_index_base(s)
             loc = starts - base
             ok = (loc >= 0) & (loc < s)
-            mark = jnp.zeros((s + 1,), jnp.int32).at[
-                jnp.where(ok, loc, s)].max(jnp.where(ok, ends, 0))[:s]
+            mark = jnp.zeros((s + 1,), idt).at[
+                jnp.where(ok, loc, s)].max(
+                    jnp.where(ok, ends, jnp.asarray(0, idt)))[:s]
             eos_l = global_cummax(mark, p)
-            g = base + jnp.arange(s, dtype=jnp.int32)
+            g = (base + jnp.arange(s, dtype=jnp.int32)).astype(idt)
             eos_l = jnp.where(g < n_real, eos_l, g)
             return xs_l, eos_l
 
@@ -313,13 +320,13 @@ def _lcp_tiefix_local(lcp_l, sa_l, eos_l, *, s: int, p: int, N: int,
 
     r = lax.axis_index(AXIS).astype(jnp.int32)
     need = lcp_l == N
-    dest = jnp.clip(sa_l, 0, N - 1) // s
+    dest = (jnp.clip(sa_l, 0, N - 1) // s).astype(jnp.int32)
 
     def gather(recv, recv_valid):
         (q,) = recv
         return (eos_l[jnp.clip(q - r * s, 0, s - 1)],)
 
-    (eos_at_sa,), ovf = route_apply((sa_l,), dest, gather, (jnp.int32,), p,
+    (eos_at_sa,), ovf = route_apply((sa_l,), dest, gather, (eos_l.dtype,), p,
                                     cap=cap_for(s, p, capscale), skip=~need,
                                     with_overflow=True)
     # dropped (overflowed) rows answer 0; a real answer is >= 1 (eos > sa),
@@ -335,10 +342,6 @@ def build_gsa_device(strings, mesh=None,
     mesh = mesh or make_mesh()
     p = num_shards(mesh)
     flat, lens = _flatten(strings)
-    n = len(flat)
-    if n >= (1 << 30):
-        # same int32 index ceiling as the SA path (encode_and_shard)
-        raise ValueError(f"string set too large for int32 indexes: {n}")
     # ship raw uint8 text + the (m,) string ends; decode codes and expand
     # the per-position eos array ON DEVICE (host->device bandwidth is the
     # binding cost on remote transports; eos as int32 would double the
@@ -350,28 +353,48 @@ def build_gsa_device(strings, mesh=None,
     xb, n, N = stage_bytes_block(flat, mesh)
     hist = staged_histogram(xb, mesh)
     alpha = Alphabet.from_hist(hist, pad_zeros=N - n)
+    return _build_gsa_staged(xb, alpha, lens, n, N, mesh, p, config)
+
+
+def _build_gsa_staged(xb, alpha, lens, n: int, N: int, mesh, p: int,
+                      config: cfg_mod.SAConfig) -> DeviceGSA:
+    """Shared device-side GSA pipeline from a staged (N,) uint8 flat text
+    (separator-free) + host string lengths.  ``index_t``-generic like the
+    reference's ``construct_ss`` (``include/suffix_array.hpp:269``): int64
+    indexes at n >= 2^30 (or ``force_int64``)."""
+    from psac_tpu.models.suffix_array import _x64_ctx, index_dtype_for
+
+    idt = index_dtype_for(N, config)
+    with _x64_ctx(idt):
+        return _build_gsa_inner(xb, alpha, lens, n, N, mesh, p, config, idt)
+
+
+def _build_gsa_inner(xb, alpha, lens, n: int, N: int, mesh, p: int,
+                     config: cfg_mod.SAConfig, idt) -> DeviceGSA:
+    np_idt = np.dtype(jnp.dtype(idt).name)
     m = len(lens)
     M = _pow2ceil(max(m, 1))
-    ends_np = np.cumsum(lens).astype(np.int32)
-    starts_p = np.full(M, N, np.int32)
-    starts_p[:m] = (ends_np - lens).astype(np.int32)
-    ends_p = np.zeros(M, np.int32)
+    ends_np = np.cumsum(lens).astype(np_idt)
+    starts_p = np.full(M, N, np_idt)
+    starts_p[:m] = (ends_np - lens).astype(np_idt)
+    ends_p = np.zeros(M, np_idt)
     ends_p[:m] = ends_np
     rep = jax.sharding.NamedSharding(mesh, P())
     d_map = jax.device_put(alpha.mapping.astype(np.int32), rep)
     d_starts = jax.device_put(starts_p, rep)
     d_ends = jax.device_put(ends_p, rep)
-    xs, eos = _gsa_inputs_fn(mesh, N, M, p)(xb, d_map, d_starts, d_ends,
-                                            jnp.int32(n))
+    xs, eos = _gsa_inputs_fn(mesh, N, M, p, idt)(xb, d_map, d_starts, d_ends,
+                                                 jnp.asarray(n, idt))
 
     from psac_tpu.models.suffix_array import kmer_words_for
     ks = kmer_words_for(alpha.bits_per_char, config)
-    key = (mesh_key(mesh), N, ks, alpha.bits_per_char, config.construct_lcp)
+    key = (mesh_key(mesh), N, ks, alpha.bits_per_char, config.construct_lcp,
+           jnp.dtype(idt).name)
     if key not in _GSA_BUILDER_CACHE:
         if len(_GSA_BUILDER_CACHE) > 64:
             _GSA_BUILDER_CACHE.clear()
         _GSA_BUILDER_CACHE[key] = _GsaBuilder(
-            mesh, N, ks, alpha.bits_per_char, config.construct_lcp)
+            mesh, N, ks, alpha.bits_per_char, config.construct_lcp, idt=idt)
     b = _GSA_BUILDER_CACHE[key]
 
     if config.fused:
@@ -423,10 +446,10 @@ def build_gsa_device(strings, mesh=None,
                 while ue > 0:
                     if config.construct_lcp:
                         cs, cb, ce, isa, sa, lcp, ue = b.tail_step(m_cap)(
-                            cs, cb, ce, isa, sa, lcp, jnp.int32(d))
+                            cs, cb, ce, isa, sa, lcp, jnp.asarray(d, idt))
                     else:
                         cs, cb, ce, isa, sa, ue = b.tail_step(m_cap)(
-                            cs, cb, ce, isa, sa, jnp.int32(d))
+                            cs, cb, ce, isa, sa, jnp.asarray(d, idt))
                     ue = int(ue)
                     d *= 2
                     if d >= 8 * N:
@@ -435,7 +458,7 @@ def build_gsa_device(strings, mesh=None,
         qd = min(d // b.s, b.p)
         if config.construct_lcp:
             isa, sa, lcp, qkey, lq, rq, nq, brow, active, eos_row, ub, ue = \
-                b.step(qd)(isa, eos, lcp, jnp.int32(d))
+                b.step(qd)(isa, eos, lcp, jnp.asarray(d, idt))
             # one stacked readback instead of two round trips
             nq, ue = (int(v) for v in
                       np.asarray(jax.device_get(jnp.stack([nq, ue]))))
@@ -443,9 +466,9 @@ def build_gsa_device(strings, mesh=None,
                 from psac_tpu.models.suffix_array import resolve_with_retry
                 m_pad = min(max(_pow2ceil(nq), b.p), N)
                 lcp = resolve_with_retry(b, m_pad, lcp, qkey, lq, rq,
-                                         jnp.int32(d))
+                                         jnp.asarray(d, idt))
         else:
-            isa, sa, brow, active, eos_row, ub, ue = b.step(qd)(isa, eos, jnp.int32(d))
+            isa, sa, brow, active, eos_row, ub, ue = b.step(qd)(isa, eos, jnp.asarray(d, idt))
             ue = int(ue)
         d *= 2
 
@@ -469,6 +492,95 @@ def _gsa_tiefix(lcp, sa, eos, b, mesh, p: int, N: int, config):
         if capscale is None or p == 1 or int(ovf) == 0:
             break
     return lcp_fixed
+
+
+_GSAC_STAGE_CACHE: dict = {}
+
+
+def _gsac_stage_fn(mesh, N_file: int, N_flat: int, M: int, p: int, sep: int,
+                   idt):
+    """Jitted file-to-stringset staging: drop separator bytes (compacting the
+    per-shard file blocks into the block-sharded separator-removed flat
+    text) and emit the (M,) replicated separator file positions.
+
+    The reference parses the distributed file into ``simple_dstringset``
+    with strings split across rank boundaries
+    (``include/stringset.hpp:43-152``); the TPU formulation needs no split
+    machinery — each real byte's flat position is its file position minus
+    the separators before it (a distributed exclusive scan), and one routed
+    scatter reshards the compacted bytes."""
+    from psac_tpu.parallel.collectives import exscan_scalar
+    from psac_tpu.parallel.route import route_scatter
+
+    key = (mesh_key(mesh), N_file, N_flat, M, sep, jnp.dtype(idt).name)
+    if key not in _GSAC_STAGE_CACHE:
+        sf = N_file // p
+        s2 = N_flat // p
+
+        def impl(fb_l, n_file):
+            base = global_index_base(sf)
+            g = (base + jnp.arange(sf, dtype=jnp.int32)).astype(idt)
+            is_file = g < n_file
+            msk = (fb_l == jnp.uint8(sep)) & is_file
+            mi = msk.astype(idt)
+            c_loc = jnp.cumsum(mi) - mi  # exclusive in-shard sep count
+            c_base = exscan_scalar(jnp.sum(mi), p)
+            c = c_base + c_loc  # separators strictly before g
+            j = g - c  # flat (separator-removed) position
+            real = is_file & ~msk
+            bflat = jnp.zeros((s2,), jnp.uint8)
+            (bflat,) = route_scatter(j, (fb_l,), (bflat,), real, s2, p)
+            # sep ordinal c is globally unique: one shard writes each slot,
+            # the psum of the zero-initialized partials replicates them
+            sep_out = jnp.zeros((M + 1,), idt).at[
+                jnp.where(msk, jnp.minimum(c, M), M)].set(
+                    jnp.where(msk, g, jnp.asarray(0, idt)))[:M]
+            return bflat, lax.psum(sep_out, AXIS)
+
+        x, r = P(AXIS), P()
+        _GSAC_STAGE_CACHE[key] = jax.jit(jax.shard_map(
+            impl, mesh=mesh, in_specs=(x, r), out_specs=(x, r)))
+    return _GSAC_STAGE_CACHE[key]
+
+
+def build_gsa_from_file(path: str, mesh=None,
+                        config: cfg_mod.SAConfig = cfg_mod.DEFAULT,
+                        sep: int = 0x0A) -> DeviceGSA:
+    """GSA (+GLCP) of a separator-delimited file (the reference's
+    ``gsac -f``, ``src/gsac.cpp`` + ``include/stringset.hpp:43-152``), with
+    per-process shard staging: no process reads or holds the whole string
+    set (only the O(m) string-boundary metadata is replicated)."""
+    from psac_tpu.models.suffix_array import _x64_ctx, index_dtype_for
+    from psac_tpu.parallel.mesh import padded_size
+    from psac_tpu.parallel.staging import stage_file_block, staged_histogram
+
+    mesh = mesh or make_mesh()
+    p = num_shards(mesh)
+    xbf, n_file, N_file = stage_file_block(path, mesh)
+    hist = staged_histogram(xbf, mesh)
+    nsep = int(hist[sep])
+    n_flat = n_file - nsep
+    if n_flat <= 0:
+        raise ValueError(f"{path}: no string content")
+    N_flat = padded_size(n_flat, p, multiple=8)
+    hist2 = hist.copy()
+    hist2[sep] = 0
+    # the histogram ran over the FILE-padded staging array, so its zero
+    # count is the file padding (genuine NULs still raise)
+    alpha = Alphabet.from_hist(hist2, pad_zeros=N_file - n_file)
+    M = _pow2ceil(max(nsep, 1))
+    idt = index_dtype_for(max(N_file, N_flat), config)
+    with _x64_ctx(idt):
+        xb_flat, sep_pos = _gsac_stage_fn(mesh, N_file, N_flat, M, p, sep,
+                                          idt)(xbf, jnp.asarray(n_file, idt))
+        sep_pos = np.asarray(jax.device_get(sep_pos), np.int64)[:nsep]
+    ends_flat = sep_pos - np.arange(nsep, dtype=np.int64)
+    if nsep == 0 or sep_pos[-1] != n_file - 1:
+        ends_flat = np.concatenate([ends_flat, [n_flat]])
+    lens = np.diff(np.concatenate([[0], ends_flat]))
+    lens = lens[lens > 0]
+    return _build_gsa_staged(xb_flat, alpha, lens, n_flat, N_flat, mesh, p,
+                             config)
 
 
 def build_gsa(strings, mesh=None,

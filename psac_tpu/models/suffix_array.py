@@ -940,11 +940,36 @@ def compute_lc_device(dsa: DeviceSuffixArray, xs) -> jax.Array:
         return lc
 
 
-#: Diagnostics of the most recent ``construct_device`` call: whether the
-#: fused one-dispatch path ran and how many host-driven loop iterations (each
-#: a separate dispatch + scalar readback) were needed after it.  The
-#: multichip dryrun asserts host_iters == 0 (the one-program guarantee).
-LAST_BUILD: dict = {}
+#: Diagnostics of the most recent ``construct_device`` call ON THIS THREAD:
+#: whether the fused one-dispatch path ran and how many host-driven loop
+#: iterations (each a separate dispatch + scalar readback) were needed after
+#: it.  The multichip dryrun asserts host_iters == 0 (the one-program
+#: guarantee).  Thread-local so overlapping builds from different threads
+#: cannot corrupt each other's counters.
+import threading as _threading
+
+
+class _LastBuild(_threading.local):
+    def __init__(self):
+        self.d: dict = {}
+
+    def update(self, **kw):
+        self.d.update(kw)
+
+    def get(self, k, default=None):
+        return self.d.get(k, default)
+
+    def __getitem__(self, k):
+        return self.d[k]
+
+    def __setitem__(self, k, v):
+        self.d[k] = v
+
+    def __repr__(self):
+        return repr(self.d)
+
+
+LAST_BUILD = _LastBuild()
 
 
 _BUILDER_CACHE: dict[tuple, _Builder] = {}

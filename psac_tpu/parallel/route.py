@@ -95,9 +95,6 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int,
       requested.
     """
     m = dest.shape[0]
-    if cap is None:
-        cap = m
-    cap = min(cap, m)
     if p == 1:
         # single shard: every record is already at its owner
         valid = jnp.ones((m,), jnp.bool_) if skip is None else ~skip
@@ -105,6 +102,17 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int,
         if with_overflow:
             return outs, jnp.int32(0)
         return outs
+    if cap is None and m > p:
+        # full-capacity pass: route in p chunks of cap=chunk each (a chunk
+        # cannot overflow its own size), bounding peak exchange buffers at
+        # O(m + p*chunk) ~ O(m) instead of the one-shot cap=m pass's O(p*m)
+        # (at 16M records x p=16 that one-shot pass is a ~1 GB-per-operand
+        # spike)
+        return _route_apply_chunked(payloads, dest, answer_fn, out_dtypes,
+                                    p, skip, with_overflow)
+    if cap is None:
+        cap = m
+    cap = min(cap, m)
     order, dropped, ovf, flat_pos = _bucket_by_dest(dest, p, cap, skip)
     buf_len = p * cap
 
@@ -141,6 +149,52 @@ def route_apply(payloads: tuple, dest, answer_fn, out_dtypes: tuple, p: int,
         novf = lax.psum(jnp.sum(ovf.astype(jnp.int32)), AXIS)
         return tuple(outs), novf
     return tuple(outs)
+
+
+#: Diagnostics of the most recent chunked full-capacity pass (tests assert
+#: the bounded buffer size): {"chunk": int, "buf_rows": int, "m": int}.
+LAST_CHUNKED_ROUTE: dict = {}
+
+
+def _route_apply_chunked(payloads: tuple, dest, answer_fn, out_dtypes: tuple,
+                         p: int, skip, with_overflow: bool):
+    """Never-overflowing routing as a ``lax.map`` over p record chunks, each
+    exchanged at cap = chunk (a chunk's records cannot exceed its own size
+    at any destination).  The reference's ragged ``all2allv`` moves O(m)
+    total (``include/bulk_rma.hpp:112-135``); this matches that bound while
+    keeping static shapes — at the price of p sequential exchanges instead
+    of one."""
+    m = dest.shape[0]
+    chunk = -(-m // p)
+    mp = chunk * p
+    pad = mp - m
+
+    def padx(x, fill=0):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    skip_all = jnp.zeros((m,), jnp.bool_) if skip is None else skip
+    skip_p = jnp.concatenate(
+        [skip_all, jnp.ones((pad,), jnp.bool_)]) if pad else skip_all
+
+    def resh(x):
+        return x.reshape((p, chunk) + x.shape[1:])
+
+    def body(args):
+        d_c, s_c = args[0], args[1]
+        pl_c = tuple(args[2:])
+        return route_apply(pl_c, d_c, answer_fn, out_dtypes, p, cap=chunk,
+                           skip=s_c, with_overflow=False)
+
+    outs = lax.map(body, (resh(padx(dest)), resh(skip_p))
+                   + tuple(resh(padx(x)) for x in payloads))
+    outs = tuple(o.reshape((mp,) + o.shape[2:])[:m] for o in outs)
+    LAST_CHUNKED_ROUTE.update(chunk=chunk, buf_rows=p * chunk, m=m)
+    if with_overflow:
+        return outs, jnp.int32(0)
+    return outs
 
 
 def route_scatter(dest_idx, values: tuple, targets: tuple, valid, s: int, p: int,

@@ -119,3 +119,52 @@ def test_gsa_fused_single_shard(mesh1):
     g1 = build_gsa(strings, mesh=mesh1)
     np.testing.assert_array_equal(g1.sa, want_sa)
     np.testing.assert_array_equal(g1.lcp, want_lcp)
+
+
+def test_gsa_int64_index_build(mesh8, mesh1):
+    """The GSA builder is index_t-generic like the reference's construct_ss
+    (include/suffix_array.hpp:269): force_int64 runs the int64 path at a
+    testable size; results must be bit-identical to the int32 build."""
+    import dataclasses
+
+    from psac_tpu import config as cfg
+    from psac_tpu.models.gsa import build_gsa
+    from psac_tpu.ops.alphabet import rand_dna
+
+    rng = np.random.RandomState(23)
+    strings = [rand_dna(int(l), seed=40 + i)
+               for i, l in enumerate(rng.randint(2, 120, 20))]
+    strings += [b"abab" * 30] * 2 + [b"a" * 90]
+    conf64 = dataclasses.replace(cfg.DEFAULT, force_int64=True)
+    want = build_gsa(strings, mesh=mesh8)
+    for mesh in (mesh8, mesh1):
+        got = build_gsa(strings, mesh=mesh, config=conf64)
+        np.testing.assert_array_equal(got.sa, want.sa)
+        np.testing.assert_array_equal(got.lcp, want.lcp)
+
+
+def test_gsa_from_file_staged(mesh8, mesh1, tmp_path):
+    """The staged file path (reference gsac -f over a distributed file,
+    include/stringset.hpp:43-152) must agree with the in-memory builder:
+    separator compaction, string-boundary recovery (incl. empty strings
+    and a missing trailing separator), and the GSA/GLCP themselves."""
+    from psac_tpu.models.gsa import build_gsa, build_gsa_from_file
+    from psac_tpu.ops.alphabet import rand_dna
+
+    rng = np.random.RandomState(31)
+    parts = [rand_dna(int(l), seed=70 + i)
+             for i, l in enumerate(rng.randint(1, 90, 25))]
+    cases = [
+        b"\n".join(parts) + b"\n",          # trailing separator
+        b"\n".join(parts),                   # no trailing separator
+        b"\n\n" + b"\n\n".join(parts[:9]),  # empty strings interleaved
+    ]
+    for fused_content in cases:
+        f = tmp_path / "strings.txt"
+        f.write_bytes(fused_content)
+        want = build_gsa(fused_content, mesh=mesh8)
+        for mesh in (mesh8, mesh1):
+            got = build_gsa_from_file(str(f), mesh=mesh).materialize()
+            np.testing.assert_array_equal(got.lens, want.lens)
+            np.testing.assert_array_equal(got.sa, want.sa)
+            np.testing.assert_array_equal(got.lcp, want.lcp)

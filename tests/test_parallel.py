@@ -201,3 +201,38 @@ def test_bulk_rmq_capacity_overflow_retry(mesh8):
             got = np.asarray(mins).reshape(p, q)
             for row in got:
                 np.testing.assert_array_equal(row, want)
+
+
+def test_route_apply_chunked_full_pass(mesh8):
+    """The cap=None (never-overflow) pass routes in p chunks so worst-case
+    exchange buffers stay O(m + p*chunk) ~ 2m rows instead of O(p*m)
+    (VERDICT r3: a 1 GB-per-operand spike at 16M x p=16).  Fully skewed
+    destinations (every record to shard 0) must still answer exactly."""
+    import psac_tpu.parallel.route as route_mod
+
+    N, p = 256, 8
+    rng = np.random.RandomState(13)
+    payload = rng.randint(0, 1000, N).astype(np.int32)
+    dest = np.zeros(N, np.int32)  # worst-case skew
+    skip = np.zeros(N, bool)
+    skip[::17] = True
+
+    def inner(pay, dst, sk):
+        def answer(recv, valid):
+            (v,) = recv
+            me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            return (jnp.where(valid, v * 10 + me, -1),)
+        return route_apply((pay,), dst, answer, (jnp.int32,), p,
+                           cap=None, skip=sk)[0]
+
+    route_mod.LAST_CHUNKED_ROUTE.clear()
+    f = jax.jit(jax.shard_map(inner, mesh=mesh8,
+                              in_specs=(P(AXIS),) * 3, out_specs=P(AXIS)))
+    got = np.asarray(f(*put(mesh8, payload, dest, skip)))
+    want = np.where(skip, 0, payload * 10)  # dest 0 everywhere; skipped -> 0
+    np.testing.assert_array_equal(got, want)
+    # the bounded-buffer guarantee: per-exchange rows ~ m (not p*m)
+    stats = route_mod.LAST_CHUNKED_ROUTE
+    m_local = N // p
+    assert stats["m"] == m_local
+    assert stats["buf_rows"] <= m_local + p, stats
