@@ -1,0 +1,66 @@
+"""Profiling harness for the adversarial 100 MB long-repeat `text` tier.
+
+Runs SA+LCP construction with per-iteration section timers (PSAC_TIMER=1,
+unfused host loop so every phase syncs) or timed fused runs, sweeping the
+levers named in BASELINE.md: kmer_words, dense_factor, resolve_div, and the
+tail-entry capacity fraction.
+
+Usage: python benchmarks/adversarial.py [profile|sweep] [n]
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "profile"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
+    corpus = os.environ.get("ADV_CORPUS", "text")
+
+    from benchmarks.envelope import bench_corpus_text, sync, time_construct
+    text = bench_corpus_text(n, corpus)
+
+    import jax  # noqa: F401
+    import psac_tpu
+    psac_tpu.enable_compile_cache()
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_array import construct_device, encode_and_shard
+    from psac_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+
+    if mode == "profile":
+        os.environ["PSAC_TIMER"] = "1"
+        conf = dataclasses.replace(
+            cfg.DEFAULT, fused=False,
+            kmer_words=int(os.environ.get("ADV_WORDS", 2)),
+            dense_factor=int(os.environ.get("ADV_FACTOR", 4)),
+            tail_threshold_frac=float(os.environ.get("ADV_TAIL", 0.1)))
+        xs, alpha, n_, N = encode_and_shard(text, mesh, conf)
+        sync(xs)
+        t0 = time.perf_counter()
+        d = construct_device(xs, alpha, n_, N, mesh, conf)
+        sync(d.sa)
+        print(f"[adv] {corpus} {n}: unfused profile total "
+              f"{time.perf_counter() - t0:.2f}s", flush=True)
+        return
+
+    # sweep: fused best-of-2 per config
+    combos = []
+    for w in (2, 3):
+        combos.append(dict(kmer_words=w))
+    for rd in (16, 64):
+        combos.append(dict(resolve_div=rd))
+    for c in combos:
+        conf = dataclasses.replace(cfg.DEFAULT, **c)
+        dt = time_construct(text, mesh, reps=2, conf=conf)
+        print(f"[adv] {corpus} {n}: {c} -> {dt:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,22 @@ outputs accumulate in a register vector via one-hot selects, stored to VMEM
 once per chunk.  On stack overflow a flag output tells the caller to fall
 back to the walk path via ``lax.cond``.
 
+The stack is *type-specialized*: each match type reads only one of the
+run's two endpoints (``furthest_eq`` the run FIRST, ``nearest_eq``/
+``nearest_sm`` the run LAST), so each chain keeps 2 SMEM arrays
+(value, endpoint) instead of 3, and only ``nearest_sm`` (whose equal-top
+answer is the *below* run's last) keeps the below cell in registers.
+After the pops every element's new top value is its own value (merge keeps
+the equal value, push installs it), which removes most merge/push selects
+from the carry update.  The overflow flag also rides in the carry and hits
+SMEM once per chunk.  These halve the per-element scalar-op count vs the
+generic 3-array formulation, but only buy ~12% wall time (16M dual pass:
+1.20 s -> 1.07 s, CHUNK 2048 == 4096, and the dual pass now costs exactly
+the sum of the two single passes): the floor is the per-element while_loop
+control flow, not ALU/SMEM throughput, so further gains need a
+tile-vectorized decomposition (VPU all-pairs per tile + this scan over the
+compressed per-tile prefix-minima spines), not more micro-optimization.
+
 Right matches = left matches of the reversed array (handled by the caller).
 """
 
@@ -31,96 +47,116 @@ from jax.experimental.pallas import tpu as pltpu
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM
 
 CHUNK = 2048
-STACK_CAP = 8192  # runs; 3 SMEM arrays x 32 KB
+STACK_CAP = 8192  # runs; 2 SMEM arrays x 32 KB per chain
 
 
-def _load_regs(st_v, st_first, st_last, sp, vz):
-    """Load the top and below stack cells into registers.
+def _needs_below(typ: int) -> bool:
+    return typ == NEAREST_SM
+
+
+def _load_regs(st_v, st_a, sp, ovf, vz, typ: int):
+    """Load the register-resident stack cells for one chain.
 
     ``vz`` is a varying zero (derived from the kernel's input block): adding
     it promotes SMEM reads (axis-unvarying) to the input's varying-axis
     type, keeping while/fori carries uniformly typed under shard_map.
     """
     k1 = jnp.maximum(sp - 1, 0)
-    k2 = jnp.maximum(sp - 2, 0)
-    return tuple(x + vz for x in
-                 (sp, st_v[k1], st_first[k1], st_last[k1],
-                  st_v[k2], st_first[k2], st_last[k2]))
+    cells = (sp, st_v[k1], st_a[k1])
+    if _needs_below(typ):
+        k2 = jnp.maximum(sp - 2, 0)
+        cells = cells + (st_v[k2], st_a[k2])
+    return tuple(x + vz for x in cells) + (ovf + vz,)
 
 
-def _flush_regs(st_v, st_first, st_last, carry):
-    sp, tv, tf, tl, bv, bf, bl = carry
+def _flush_regs(st_v, st_a, carry, typ: int):
+    sp, tv, ta = carry[:3]
     k1 = jnp.maximum(sp - 1, 0)
-    k2 = jnp.maximum(sp - 2, 0)
-    st_v[k2] = bv
-    st_first[k2] = bf
-    st_last[k2] = bl
+    if _needs_below(typ):
+        bv, ba = carry[3:5]
+        k2 = jnp.maximum(sp - 2, 0)
+        st_v[k2] = bv
+        st_a[k2] = ba
     st_v[k1] = tv
-    st_first[k1] = tf
-    st_last[k1] = tl
+    st_a[k1] = ta
 
 
-def _one_elem_reg(x_ref, idx_ref, val_ref, st_v, st_first, st_last,
-                  ovf_ref, ovf_slot: int, base, j, typ: int, carry, vz):
-    """Register-resident variant: the top and below stack cells live in the
-    fori_loop carry, so the hot path does ZERO SMEM loads (pops reload the
-    new below cell; pushes flush the old below cell).  ~25% faster than the
-    all-SMEM formulation on the scalar unit."""
-    sp, tv, tf, tl, bv, bf, bl = carry
+def _one_elem(x_ref, idx_ref, val_ref, st_v, st_a,
+              base, j, typ: int, carry, vz):
+    """One scan step with the top (and, for nearest_sm, the below) stack
+    cell register-resident; the hot path does ZERO SMEM loads (pops reload
+    from SMEM; pushes flush the displaced cell)."""
+    below = _needs_below(typ)
+    if below:
+        sp, tv, ta, bv, ba, ovf = carry
+    else:
+        sp, tv, ta, ovf = carry
     v = x_ref[0, 0, j] + vz
     gi = base + j + vz
 
-    def pcond(c2):
-        return jnp.logical_and(c2[0] > 0, c2[1] > v)
+    # ---- pop runs with value > v -----------------------------------------
+    if below:
+        def pcond(c2):
+            return jnp.logical_and(c2[0] > 0, c2[1] > v)
 
-    def pbody(c2):
-        sp2 = c2[0] - 1
-        k = jnp.maximum(sp2 - 2, 0)
-        return (sp2, c2[4], c2[5], c2[6],
-                st_v[k] + vz, st_first[k] + vz, st_last[k] + vz)
+        def pbody(c2):
+            sp2 = c2[0] - 1
+            k = jnp.maximum(sp2 - 2, 0)
+            return (sp2, c2[3], c2[4], st_v[k] + vz, st_a[k] + vz)
 
-    sp, tv, tf, tl, bv, bf, bl = lax.while_loop(
-        pcond, pbody, (sp, tv, tf, tl, bv, bf, bl))
+        sp, tv, ta, bv, ba = lax.while_loop(pcond, pbody,
+                                            (sp, tv, ta, bv, ba))
+    else:
+        def pcond(c2):
+            return jnp.logical_and(c2[0] > 0, c2[1] > v)
 
+        def pbody(c2):
+            sp2 = c2[0] - 1
+            k = jnp.maximum(sp2 - 1, 0)
+            return (sp2, st_v[k] + vz, st_a[k] + vz)
+
+        sp, tv, ta = lax.while_loop(pcond, pbody, (sp, tv, ta))
+
+    # ---- output -----------------------------------------------------------
     has = sp > 0
     if typ == NEAREST_SM:
         eq_top = has & (tv == v)
         midx = jnp.where(eq_top,
-                         jnp.where(sp > 1, bl, -1),
-                         jnp.where(has, tl, -1))
+                         jnp.where(sp > 1, ba, -1),
+                         jnp.where(has, ta, -1))
         mval = jnp.where(eq_top, bv, tv)
-    elif typ == NEAREST_EQ:
-        midx = jnp.where(has, tl, -1)
+    else:  # FURTHEST_EQ (ta = run first) / NEAREST_EQ (ta = run last)
+        midx = jnp.where(has, ta, -1)
         mval = tv
-    else:  # FURTHEST_EQ
-        midx = jnp.where(has, tf, -1)
-        mval = tv
-
     idx_ref[0, 0, j] = midx
     val_ref[0, 0, j] = jnp.where(midx >= 0, mval, 0)
 
+    # ---- merge into the top run, or push a new one ------------------------
+    # after the pops tv <= v, so the new top's value is always v
     merge = has & (tv == v)
-    ok = sp < STACK_CAP
-    # on push the old below cell leaves the registers: flush it
-    # (unconditional: on merge it rewrites the already-correct cell)
-    k2 = jnp.maximum(sp - 2, 0)
-    st_v[k2] = bv
-    st_first[k2] = bf
-    st_last[k2] = bl
-    ovf_ref[ovf_slot] = ovf_ref[ovf_slot] | jnp.int32(
-        jnp.logical_not(merge) & jnp.logical_not(ok))
+    ovf = ovf | jnp.int32(jnp.logical_not(merge) & (sp >= STACK_CAP))
     spn = jnp.where(merge, sp, jnp.minimum(sp + 1, STACK_CAP))
-    return (spn,
-            v,
-            jnp.where(merge, tf, gi),
-            gi,
-            jnp.where(merge, bv, tv),
-            jnp.where(merge, bf, tf),
-            jnp.where(merge, bl, tl))
+    if below:
+        # the displaced below cell leaves the registers on push: flush it
+        # (idempotent on merge — it rewrites the already-correct cell)
+        k2 = jnp.maximum(sp - 2, 0)
+        st_v[k2] = bv
+        st_a[k2] = ba
+        return (spn, v, gi,
+                jnp.where(merge, bv, tv), jnp.where(merge, ba, ta), ovf)
+    # the register top's own SMEM slot is refreshed in place (idempotent on
+    # merge for FURTHEST_EQ; for NEAREST_EQ the slot goes stale on merge but
+    # the register copy is authoritative until the next push rewrites it)
+    k1 = jnp.maximum(sp - 1, 0)
+    st_v[k1] = tv
+    st_a[k1] = ta
+    if typ == FURTHEST_EQ:
+        return (spn, v, jnp.where(merge, ta, gi), ovf)
+    return (spn, v, gi, ovf)  # NEAREST_EQ: run last = gi on merge AND push
 
 
 def _scan_kernel(x_ref, idx_ref, val_ref, flag_ref,
-                 st_v, st_first, st_last, sp_ref, *, typ: int, nchunks: int):
+                 st_v, st_a, sp_ref, *, typ: int, nchunks: int):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -134,16 +170,16 @@ def _scan_kernel(x_ref, idx_ref, val_ref, flag_ref,
     def body4(k, carry):
         j0 = k * 4
         for u in range(4):
-            carry = _one_elem_reg(x_ref, idx_ref, val_ref, st_v, st_first,
-                                  st_last, sp_ref, 1, base, j0 + u, typ,
-                                  carry, vz)
+            carry = _one_elem(x_ref, idx_ref, val_ref, st_v, st_a,
+                              base, j0 + u, typ, carry, vz)
         return carry
 
     carry = lax.fori_loop(0, CHUNK // 4, body4,
-                          _load_regs(st_v, st_first, st_last, sp_ref[0],
-                                     vz))
-    _flush_regs(st_v, st_first, st_last, carry)
+                          _load_regs(st_v, st_a, sp_ref[0], sp_ref[1], vz,
+                                     typ))
+    _flush_regs(st_v, st_a, carry, typ)
     sp_ref[0] = carry[0]
+    sp_ref[1] = carry[-1]
 
     @pl.when(c == nchunks - 1)
     def _():
@@ -151,7 +187,7 @@ def _scan_kernel(x_ref, idx_ref, val_ref, flag_ref,
 
 
 def _dual_kernel(x_ref, xr_ref, il_ref, vl_ref, ir_ref, vr_ref, flag_ref,
-                 lv, lf, ll, rv, rf, rl, sp_ref, *,
+                 lv, la, rv, ra, sp_ref, *,
                  typ_l: int, typ_r: int, nchunks: int):
     """Two independent run-stack scans in one kernel pass: the forward
     stream (left matches of x) and the reverse stream (left matches of
@@ -174,20 +210,22 @@ def _dual_kernel(x_ref, xr_ref, il_ref, vl_ref, ir_ref, vr_ref, flag_ref,
         cl, cr = carry
         j0 = k * 2
         for u in range(2):
-            cl = _one_elem_reg(x_ref, il_ref, vl_ref, lv, lf, ll, sp_ref,
-                               1, base, j0 + u, typ_l, cl, vz)
-            cr = _one_elem_reg(xr_ref, ir_ref, vr_ref, rv, rf, rl, sp_ref,
-                               3, base, j0 + u, typ_r, cr, vz)
+            cl = _one_elem(x_ref, il_ref, vl_ref, lv, la,
+                           base, j0 + u, typ_l, cl, vz)
+            cr = _one_elem(xr_ref, ir_ref, vr_ref, rv, ra,
+                           base, j0 + u, typ_r, cr, vz)
         return (cl, cr)
 
     cl, cr = lax.fori_loop(
         0, CHUNK // 2, body2,
-        (_load_regs(lv, lf, ll, sp_ref[0], vz),
-         _load_regs(rv, rf, rl, sp_ref[2], vz)))
-    _flush_regs(lv, lf, ll, cl)
-    _flush_regs(rv, rf, rl, cr)
+        (_load_regs(lv, la, sp_ref[0], sp_ref[1], vz, typ_l),
+         _load_regs(rv, ra, sp_ref[2], sp_ref[3], vz, typ_r)))
+    _flush_regs(lv, la, cl, typ_l)
+    _flush_regs(rv, ra, cr, typ_r)
     sp_ref[0] = cl[0]
+    sp_ref[1] = cl[-1]
     sp_ref[2] = cr[0]
+    sp_ref[3] = cr[-1]
 
     @pl.when(c == nchunks - 1)
     def _():
@@ -220,7 +258,7 @@ def nsv_scan_dual(x, xr, typ_l: int, typ_r: int, interpret: bool = False,
         out_shape=[jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.int32,
                                         vma=frozenset(vma))] * 4
         + [jax.ShapeDtypeStruct((1,), jnp.int32, vma=frozenset(vma))],
-        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)] * 6
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)] * 4
         + [pltpu.SMEM((4,), jnp.int32)],
         interpret=interpret,
     )(x2, xr2)
@@ -257,7 +295,6 @@ def nsv_scan_left(x, typ: int, interpret: bool = False, vma: tuple = ()):
             jax.ShapeDtypeStruct((1,), jnp.int32, vma=frozenset(vma)),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
-                        pltpu.SMEM((STACK_CAP,), jnp.int32),
                         pltpu.SMEM((STACK_CAP,), jnp.int32),
                         pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
