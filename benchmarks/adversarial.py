@@ -51,11 +51,12 @@ def main():
         return
 
     # sweep: fused best-of-2 per config
-    combos = []
-    for w in (2, 3):
-        combos.append(dict(kmer_words=w))
-    for rd in (16, 64):
-        combos.append(dict(resolve_div=rd))
+    combos = [dict()]  # baseline W=2 F=4 rdiv=32
+    spec = os.environ.get(
+        "ADV_SWEEP", "dense_factor=8;kmer_words=3;resolve_div=8")
+    for part in filter(None, spec.split(";")):
+        combos.append({k: int(v) for k, v in
+                       (kv.split("=") for kv in part.split(","))})
     for c in combos:
         conf = dataclasses.replace(cfg.DEFAULT, **c)
         dt = time_construct(text, mesh, reps=2, conf=conf)

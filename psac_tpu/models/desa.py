@@ -53,6 +53,56 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
+_MAX_LEN_GROUPS = 3
+
+
+def _length_groups(lens: np.ndarray,
+                   max_groups: int = _MAX_LEN_GROUPS) -> list:
+    """Partition pattern indices into <= ``max_groups`` contiguous
+    pow2-length tiers, minimizing the total padded code volume
+    sum_g(count_g * Lmax_g) by exact DP over the (few) distinct tiers."""
+    tier = np.left_shift(
+        1, np.ceil(np.log2(np.maximum(lens, 2))).astype(np.int64))
+    uniq, inv = np.unique(tier, return_inverse=True)
+    k = len(uniq)
+    if k <= 1:
+        return [np.arange(len(lens))]
+    counts = np.bincount(inv, minlength=k)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+
+    def seg_cost(i, j):  # tiers i..j inclusive, padded to uniq[j]
+        return (csum[j + 1] - csum[i]) * int(uniq[j])
+
+    G = min(max_groups, k)
+    INF = float("inf")
+    dp = [[INF] * k for _ in range(G + 1)]
+    cut = [[-1] * k for _ in range(G + 1)]
+    for j in range(k):
+        dp[1][j] = seg_cost(0, j)
+    for g in range(2, G + 1):
+        for j in range(g - 1, k):
+            for i in range(g - 1, j + 1):  # last segment = tiers i..j
+                c = dp[g - 1][i - 1] + seg_cost(i, j)
+                if c < dp[g][j]:
+                    dp[g][j] = c
+                    cut[g][j] = i
+    # walk back the best full partition (fewer groups can win on volume ties
+    # and save compiles)
+    best_g = min(range(1, G + 1), key=lambda g: dp[g][k - 1])
+    bounds = []
+    g, j = best_g, k - 1
+    while g > 1:
+        i = cut[g][j]
+        bounds.append(i)
+        j, g = i - 1, g - 1
+    bounds = [0] + bounds[::-1] + [k]
+    seg_of_tier = np.zeros(k, np.int64)
+    for si in range(len(bounds) - 1):
+        seg_of_tier[bounds[si]:bounds[si + 1]] = si
+    seg = seg_of_tier[inv]
+    return [np.nonzero(seg == si)[0] for si in range(len(bounds) - 1)]
+
+
 # --------------------------------------------------------------------------
 # construction
 # --------------------------------------------------------------------------
@@ -164,12 +214,32 @@ class DESA:
         return self._run_query(patterns, verify=False)
 
     def _run_query(self, patterns, verify: bool) -> np.ndarray:
+        """Length-bucketed dispatch: ragged pattern batches are split into at
+        most ``_MAX_LEN_GROUPS`` Lmax tiers before padding, so one long
+        pattern cannot inflate the whole (B, Lmax) code matrix and its
+        all-to-all volume (the reference ships ragged strings instead,
+        ``include/dstrings.hpp:229-282``)."""
         if len(patterns) == 0:
             return np.zeros((0, 2), np.int64)
+        lens = np.fromiter((len(pt) for pt in patterns), np.int64,
+                           len(patterns))
+        groups = _length_groups(lens)
+        if len(groups) == 1:
+            return self._run_query_group(patterns, verify)
+        out = np.zeros((len(patterns), 2), np.int64)
+        for idx in groups:
+            out[idx] = self._run_query_group([patterns[i] for i in idx],
+                                             verify)
+        return out
+
+    def _run_query_group(self, patterns, verify: bool) -> np.ndarray:
         mat, lens, bad = self.encode_patterns(patterns)
         B, Lmax = mat.shape
         p = num_shards(self.mesh)
-        Bp = -(-B // p) * p
+        # pow2 batch padding bounds the distinct compiled (b, Lmax) shapes
+        # the length-bucketed groups can produce (padding rows have len 0 and
+        # exit the walk immediately)
+        Bp = max(p, _pow2ceil(B))
         if Bp != B:
             mat = np.vstack([mat, np.zeros((Bp - B, Lmax), np.int32)])
             lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
@@ -503,11 +573,23 @@ def _tli_lookup(mat, lens, table, k: int, bits: int):
     return lo, hi
 
 
+#: Active-set compaction rungs of the blind search: batch-width divisors.
+_COMPACT_RUNGS = (8, 64)
+
+
 def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
                   cap: int):
     """Vectorized blind search (reference desa.hpp:402-527 ``find_child`` /
     ``local_locate_possible``), local inclusive coords, one batched RMQ per
-    while_loop step.  Returns final (l, r) inclusive local ranges."""
+    while_loop step.  Returns final (l, r) inclusive local ranges.
+
+    The walk is LOCKSTEP over the batch (the while_loop runs until the
+    slowest pattern finishes) and each step pays RMQ + gathers proportional
+    to the batch width, so the finished majority taxes the deep tail: once
+    the active count drops below M/8 (then M/64) the state is compacted to
+    a narrower buffer by a 1-key sort and the walk continues at that width
+    (the same trick as the SA construction's sparse tail), with results
+    scattered back at the end."""
     M = l0.shape[0]
 
     def lcp_at(i):
@@ -524,64 +606,117 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
 
     i0 = rmq_q(l0 + 1, r0)
     q0 = lcp_at(i0)
-    m = lens
-    done0 = (~need) | ~((q0 < m) & (l0 < r0) & (l0 < i0))
+    done0 = (~need) | ~((q0 < lens) & (l0 < r0) & (l0 < i0))
     # every inner step strictly shrinks [l, r], so 2*cap + 64 bounds the
     # walk; the counter is a hang guard, not the expected exit
     max_steps = 2 * cap + 64
 
-    def cond(state):
-        return jnp.any(~state[5]) & (state[6] < max_steps)
+    def make_body(pat_, lens_):
+        Mw = pat_.shape[0]
+        m = lens_
 
-    def body(state):
-        l, r, i, q, phase, done, step = state
-        active = ~done
-        inner = active & (phase == 0)
-        fix = active & (phase == 1)
+        def body(state):
+            l, r, i, q, phase, done, step = state
+            active = ~done
+            inner = active & (phase == 0)
+            fix = active & (phase == 1)
 
-        c = pat[jnp.arange(M), jnp.clip(q, 0, pat.shape[1] - 1)]
-        lc = lc_at(i)
-        lcpi = lcp_at(i)
+            c = pat_[jnp.arange(Mw), jnp.clip(q, 0, pat_.shape[1] - 1)]
+            lc = lc_at(i)
+            lcpi = lcp_at(i)
 
-        hit = inner & (lc == c)
-        adv = inner & ~hit
-        l_adv = jnp.where(adv, i, l)
-        r_hit = jnp.where(hit, i - 1, r)
-        stop2 = adv & (l_adv == r)
-        cont = adv & ~stop2
+            hit = inner & (lc == c)
+            adv = inner & ~hit
+            l_adv = jnp.where(adv, i, l)
+            r_hit = jnp.where(hit, i - 1, r)
+            stop2 = adv & (l_adv == r)
+            cont = adv & ~stop2
 
-        # NB: the reference descends with minq only when l+1 < r
-        # (desa.hpp:505), losing the split of 2-row intervals and falsely
-        # rejecting patterns whose match is the interval's second row (the
-        # "FIXME" at desa.hpp:446); l < r is the correct condition
-        # (minq(l+1, r) with l+1 == r is just r).
-        fixq = fix & (lcpi == q)
-        fix_rmq = fixq & (l < r)
+            # NB: the reference descends with minq only when l+1 < r
+            # (desa.hpp:505), losing the split of 2-row intervals and falsely
+            # rejecting patterns whose match is the interval's second row
+            # (the "FIXME" at desa.hpp:446); l < r is the correct condition
+            # (minq(l+1, r) with l+1 == r is just r).
+            fixq = fix & (lcpi == q)
+            fix_rmq = fixq & (l < r)
 
-        lo = jnp.where(cont, l_adv, l) + 1
-        hi = jnp.where(inner, r_hit, r)
-        im = rmq_q(lo, hi)
-        lcp_im = lcp_at(im)
-        lcp_l = lcp_at(l)
+            lo = jnp.where(cont, l_adv, l) + 1
+            hi = jnp.where(inner, r_hit, r)
+            im = rmq_q(lo, hi)
+            lcp_im = lcp_at(im)
+            lcp_l = lcp_at(l)
 
-        stay = cont & (l_adv < r) & (lcp_im == q)
-        i_in = jnp.where(cont, im, i)
-        exit_inner = hit | stop2 | (cont & ~stay)
+            stay = cont & (l_adv < r) & (lcp_im == q)
+            i_in = jnp.where(cont, im, i)
+            exit_inner = hit | stop2 | (cont & ~stay)
 
-        i_fx = jnp.where(fix_rmq, im, jnp.where(fixq, l, i))
-        q_fx = jnp.where(fix_rmq, lcp_im, jnp.where(fixq, lcp_l, lcpi))
-        done_fx = ~((q_fx < m) & (l < r) & (l < i_fx))
+            i_fx = jnp.where(fix_rmq, im, jnp.where(fixq, l, i))
+            q_fx = jnp.where(fix_rmq, lcp_im, jnp.where(fixq, lcp_l, lcpi))
+            done_fx = ~((q_fx < m) & (l < r) & (l < i_fx))
 
-        l_new = jnp.where(inner, l_adv, l)
-        r_new = jnp.where(inner, r_hit, r)
-        i_new = jnp.where(inner, i_in, jnp.where(fix, i_fx, i))
-        q_new = jnp.where(fix, q_fx, q)
-        phase_new = jnp.where(exit_inner, 1, jnp.where(fix, 0, phase))
-        done_new = done | (fix & done_fx)
-        return (l_new, r_new, i_new, q_new, phase_new, done_new, step + 1)
+            l_new = jnp.where(inner, l_adv, l)
+            r_new = jnp.where(inner, r_hit, r)
+            i_new = jnp.where(inner, i_in, jnp.where(fix, i_fx, i))
+            q_new = jnp.where(fix, q_fx, q)
+            phase_new = jnp.where(exit_inner, 1, jnp.where(fix, 0, phase))
+            done_new = done | (fix & done_fx)
+            return (l_new, r_new, i_new, q_new, phase_new, done_new,
+                    step + 1)
 
+        return body
+
+    def nact(state):
+        return jnp.sum((~state[5]).astype(jnp.int32))
+
+    def run(pat_, lens_, state, widths):
+        Mw = pat_.shape[0]
+        body = make_body(pat_, lens_)
+        if not widths:
+            state = lax.while_loop(
+                lambda st: jnp.any(~st[5]) & (st[6] < max_steps), body,
+                state)
+            return state
+        nxt = widths[0]
+        state = lax.while_loop(
+            lambda st: (nact(st) > nxt) & (st[6] < max_steps), body, state)
+
+        def compact_go(st):
+            l, r, i, q, ph, dn, stp = st
+            I32 = jnp.iinfo(jnp.int32).max
+            key = jnp.where(dn, I32, jnp.arange(Mw, dtype=jnp.int32))
+            ks, ls, rs, is_, qs, phs = (a[:nxt] for a in lax.sort(
+                (key, l, r, i, q, ph), num_keys=1))
+            valid = ks != I32
+            idxc = jnp.where(valid, ks, 0)
+            stc = run(jnp.take(pat_, idxc, axis=0), lens_[idxc],
+                      (ls, rs, is_, qs, phs, ~valid, stp), widths[1:])
+            pos = jnp.where(valid, ks, Mw)  # drop slot for padding rows
+
+            def put(full, comp):
+                padded = jnp.concatenate(
+                    [full, jnp.zeros((1,), full.dtype)])
+                return padded.at[pos].set(comp)[:Mw]
+
+            return tuple(put(f, c) for f, c in
+                         zip((l, r, i, q, ph, dn), stc[:6])) + (stc[6],)
+
+        def full_go(st):  # hang-guard path: never compacts mid-active
+            return lax.while_loop(
+                lambda s2: jnp.any(~s2[5]) & (s2[6] < max_steps), body, st)
+
+        na = nact(state)
+        return lax.cond(na == 0, lambda st: st,
+                        lambda st: lax.cond(na <= nxt, compact_go, full_go,
+                                            st),
+                        state)
+
+    widths = []
+    for dv in _COMPACT_RUNGS:
+        w = max(256, _pow2ceil(-(-M // dv)))
+        if w < M and (not widths or w < widths[-1]):
+            widths.append(w)
     state = (l0, r0, i0, q0, jnp.zeros_like(l0), done0, jnp.int32(0))
-    l, r, _, q, _, _, _ = lax.while_loop(cond, body, state)
+    l, r, _, q, _, _, _ = run(pat, lens, state, widths)
     return l, r, q
 
 
