@@ -34,10 +34,15 @@ def main():
 
     mesh = make_mesh(1)
 
-    if mode == "profile":
+    if mode in ("profile", "profile-sa"):
+        # profile-sa: SA-only unfused quad path (construct_arr<4>) — per-iter
+        # sort/rebucket/tail splits + the unfinished-element trajectory;
+        # the LCP-resolve share = fused-total minus these parts.
         os.environ["PSAC_TIMER"] = "1"
         conf = dataclasses.replace(
             cfg.DEFAULT, fused=False,
+            construct_lcp=(mode == "profile"),
+            factor=int(os.environ.get("ADV_FACTOR", 4)),
             kmer_words=int(os.environ.get("ADV_WORDS", 2)),
             dense_factor=int(os.environ.get("ADV_FACTOR", 4)),
             tail_threshold_frac=float(os.environ.get("ADV_TAIL", 0.1)))

@@ -78,6 +78,13 @@ class SAConfig:
     # rank — 3 words = 30 chars for DNA, 12 for byte text — saving a dense
     # iteration on repeat-heavy corpora at one extra init sort operand)
     kmer_words: int = 2
+    # fused-path tail-entry capacity = N / fused_tail_div: the dense
+    # while_loop hands over to the big-stage sparse tail once the active
+    # count fits (the host path uses tail_threshold_frac instead).  A
+    # smaller divisor enters the tail earlier: tail iterations cost
+    # O(cap) sorts + routed gathers vs the dense iteration's O(N) sorts,
+    # a win once most elements are finished
+    fused_tail_div: int = 32
 
 
 DEFAULT = SAConfig()

@@ -249,9 +249,9 @@ class _GsaBuilder(_Builder):
             if self.with_lcp:
                 isa, sa, lcp, qkey, lq, rq, _nq, brow, active, eos_row, \
                     ub, ue = self._gstep_local(isa, eos_l, lcp, d, q=None)
-                dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
-                lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
-                                                m_pad=m_pad)
+                jcol = jnp.ones(qkey.shape, idt)
+                lcp = self._resolve_fused_local(lcp, qkey, lq, rq, jcol, d,
+                                                m_pad=m_pad, L=2)
             else:
                 isa, sa, brow, active, eos_row, ub, ue = \
                     self._gstep_local(isa, eos_l, d, q=None)

@@ -338,19 +338,32 @@ class _Builder:
             self._resolve_cache[key] = jax.jit(impl)
         return self._resolve_cache[key]
 
-    def _resolve_fused_local(self, lcp_l, qkey, lq, rq, dz, *, m_pad: int):
+    def _resolve_fused_local(self, lcp_l, qkey, lq, rq, jcol, d, *,
+                             m_pad: int, L: int = 2):
         """In-program LCP resolve: one local 1-key compaction sort per shard
         (INF keys sink), then m_pad-sized chunks answered against a
-        local/distributed RMQ and scattered back.  ``dz`` is the per-query
-        additive distance (j*d for the j-th L-pling column; the plain
-        doubling step passes a broadcast d).
+        local/distributed RMQ and scattered back.  ``jcol`` is the per-query
+        L-pling column (1..L-1; the additive distance is jcol*d).
 
-        At p == 1 a chunk is a row-window RMQ batch plus a local scatter; at
-        p > 1 each chunk runs the left/middle/right distributed RMQ and a
-        routed scatter with capacity = the chunk size (bounded buffers, no
-        overflow possible since cap == m).  The chunk loop runs to the MAX
-        per-shard query count (a pmax) so every shard participates in each
-        chunk's collectives; drained shards pass all-invalid chunks.
+        The compaction sorts a packed key — local row * (L-1) + (jcol-1) —
+        so the per-query distance column never rides the sort (the chunk
+        decodes jcol from the key); lq/rq stay sort operands (re-gathering
+        them per chunk from the full arrays measured SLOWER: two random
+        m_pad-gathers per chunk beat carrying two operands through a 1-key
+        sort only for tiny query counts).  Packing needs s*(L-1) to fit the
+        index dtype; the rare int32 build with s*(L-1) >= 2^31 falls back
+        to the extra operand.
+
+        Every query's target row is generated by — and therefore owned by —
+        this shard (qkey comes from the step's own gidx), so the chunk
+        scatter is LOCAL at any p, into a drop-slot-padded (s+1,) buffer
+        carried through the whole while_loop: padding the buffer inside the
+        chunk body instead re-copied the full LCP array once per chunk
+        (~0.8 GB of pure copy traffic per chunk at 100M).  Only the RMQ
+        answering is distributed at p > 1 (left/middle/right shard query);
+        the chunk loop runs to the MAX per-shard query count (a pmax) so
+        every shard participates in each chunk's collectives; drained
+        shards pass all-invalid chunks.
 
         All chunks are answered against the PRE-resolve LCP state (the RMQ
         is built once), matching the reference's bulk answer timing
@@ -360,44 +373,113 @@ class _Builder:
         """
         s, p = self.s, self.p
         idt = self.idt
+        Lm = max(1, L - 1)
         cnt = jnp.sum((qkey != self.INF).astype(idt))
         nq = lax.pmax(cnt, AXIS) if p > 1 else cnt
-        ks, ls, rs, ds = lax.sort((qkey, lq, rq, dz), num_keys=1)
+        base = (lax.axis_index(AXIS).astype(
+            jax.dtypes.canonicalize_dtype(jnp.int64)) * s).astype(idt) \
+            if p > 1 else jnp.asarray(0, idt)
+        imax = int(np.iinfo(np.dtype(jnp.dtype(idt).name)).max)
+        # narrow tier (p == 1 only: global == local LCP ranges): bucket
+        # splits concentrate at TINY ranges — [lq, rq] with rq-lq < 8 spans
+        # at most two 8-wide rows, answered with two row reads instead of
+        # the 128-wide windows + table gathers of the general path.  A
+        # class bit packed above the row key groups narrow queries into
+        # their own chunks (the sort is ascending, so at most one chunk
+        # straddles and takes the general path for all its rows).
+        narrow = p == 1 and s % 8 == 0 and imax // (2 * Lm) > s
+        packed = imax // Lm > s
+        if narrow:
+            wide = (rq - lq) >= 8
+            key2 = jnp.where(
+                qkey == self.INF, self.INF,
+                (jnp.where(wide, s, 0) + qkey - base) * Lm
+                + (jcol - 1).astype(idt))
+            ks, ls, rs = lax.sort((key2, lq, rq), num_keys=1)
+            js = None
+        elif packed and Lm > 1:
+            key2 = jnp.where(qkey == self.INF, self.INF,
+                             (qkey - base) * Lm + (jcol - 1).astype(idt))
+            ks, ls, rs = lax.sort((key2, lq, rq), num_keys=1)
+            js = None
+        elif Lm == 1:
+            ks, ls, rs = lax.sort((qkey, lq, rq), num_keys=1)
+            js = None
+        else:
+            ks, ls, rs, js = lax.sort((qkey, lq, rq, jcol), num_keys=1)
         rmq = build_local_rmq(lcp_l, with_small=False)
         smins = shard_minima(lcp_l, p) if p > 1 else None
+        xb8 = lcp_l.reshape(s // 8, 8) if narrow else None
+        INFV = jnp.iinfo(lcp_l.dtype).max
 
         def cond(st):
             return st[0].astype(idt) * m_pad < nq
 
         def body(st):
-            c, lcp_cur = st
+            c, lcp_pad = st
             off = c.astype(idt) * m_pad
             kq_c = lax.dynamic_slice_in_dim(ks, off, m_pad)
             l_c = lax.dynamic_slice_in_dim(ls, off, m_pad)
             r_c = lax.dynamic_slice_in_dim(rs, off, m_pad)
-            d_c = lax.dynamic_slice_in_dim(ds, off, m_pad)
             valid = kq_c != self.INF
+            if js is not None:
+                j_c = lax.dynamic_slice_in_dim(js, off, m_pad)
+                row_loc = jnp.where(valid, kq_c - base, 0)
+            elif narrow or Lm > 1:
+                kdec = jnp.where(valid, kq_c, 0)
+                if narrow:
+                    kdec = jnp.where(kdec >= s * Lm, kdec - s * Lm, kdec)
+                row_loc = jnp.clip(kdec // Lm, 0, s - 1)
+                j_c = (kdec - row_loc * Lm).astype(idt) + 1
+            else:
+                row_loc = jnp.where(valid, kq_c - base, 0)
+                j_c = jnp.ones_like(kq_c)
+            d_c = j_c * d.astype(idt)
             if p == 1:
                 lo = jnp.clip(jnp.where(valid, l_c, 0), 0, s - 1)
-                hi = jnp.clip(jnp.where(valid, r_c, 0), 0, s - 1)
-                mins = query_local_rmq(rmq, lo, hi)
-                newv = d_c.astype(idt) + mins
-                row = jnp.where(valid, kq_c, jnp.asarray(s, idt))
-                padded = jnp.concatenate(
-                    [lcp_cur, jnp.zeros((1,), lcp_cur.dtype)])
-                lcp_cur = padded.at[row].set(jnp.where(valid, newv, 0))[:s]
+                hi = jnp.clip(jnp.where(valid, jnp.maximum(r_c, l_c), 0),
+                              0, s - 1)
+
+                def narrow_mins(_):
+                    bl = lo // 8
+                    bh = hi // 8
+                    lw = jnp.take(xb8, bl, axis=0)  # (m_pad, 8)
+                    rw = jnp.take(xb8, bh, axis=0)
+                    o8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+                    lo_off = (lo - bl * 8)[:, None].astype(jnp.int32)
+                    hi_off = (hi - bh * 8)[:, None].astype(jnp.int32)
+                    same = (bl == bh)[:, None]
+                    lmask = (o8 >= lo_off) & (~same | (o8 <= hi_off))
+                    rmask = (o8 <= hi_off) & (~same | (o8 >= lo_off))
+                    return jnp.minimum(
+                        jnp.min(jnp.where(lmask, lw, INFV), axis=1),
+                        jnp.min(jnp.where(rmask, rw, INFV), axis=1))
+
+                def wide_mins(_):
+                    return query_local_rmq(rmq, lo, hi)
+
+                if narrow:
+                    # ascending class keys: a chunk is all-narrow unless it
+                    # contains a wide (class-1) key
+                    has_wide = jnp.max(jnp.where(valid, kq_c, 0)) >= s * Lm
+                    mins = lax.cond(has_wide, wide_mins, narrow_mins, None)
+                else:
+                    mins = wide_mins(None)
             else:
+                # lq/rq are GLOBAL LCP ranges; bulk_rmq_local splits them
+                # into left/middle/right shard parts itself
                 mins = bulk_rmq_local(rmq, smins,
                                       jnp.where(valid, l_c, 0),
                                       jnp.where(valid, r_c, 0),
                                       valid, s, p)
-                newv = d_c.astype(idt) + mins
-                (lcp_cur,) = route_scatter(kq_c, (newv,), (lcp_cur,),
-                                           valid, s, p)
-            return (c + 1, lcp_cur)
+            newv = d_c + mins
+            row = jnp.where(valid, row_loc, jnp.asarray(s, idt))
+            lcp_pad = lcp_pad.at[row].set(jnp.where(valid, newv, 0))
+            return (c + 1, lcp_pad)
 
-        _, lcp_new = lax.while_loop(cond, body, (jnp.int32(0), lcp_l))
-        return lcp_new
+        lcp_pad0 = jnp.concatenate([lcp_l, jnp.zeros((1,), lcp_l.dtype)])
+        _, lcp_new = lax.while_loop(cond, body, (jnp.int32(0), lcp_pad0))
+        return lcp_new[:s]
 
     # ---------------- prefix-quadrupling dense step (with LCP) ----------
 
@@ -447,14 +529,14 @@ class _Builder:
             pv = jnp.where(diffs[j], pcols[j], pv)
             cv = jnp.where(diffs[j], bcols[j], cv)
         zero = (pv == 0) | (cv == 0)
-        dz = jcol * d.astype(idt)
-        lcp_l = jnp.where(split & zero & (lcp_l == N), dz, lcp_l)
+        lcp_l = jnp.where(split & zero & (lcp_l == N), jcol * d.astype(idt),
+                          lcp_l)
         querycase = split & ~zero
         lq = jnp.minimum(pv, cv)
         rq = jnp.maximum(pv, cv) - 1
         nq = lax.psum(jnp.sum(querycase.astype(idt)), AXIS)
         qkey = jnp.where(querycase, gidx, self.INF)
-        return (isa_new, sa, lcp_l, qkey, lq, rq, dz, nq) + \
+        return (isa_new, sa, lcp_l, qkey, lq, rq, jcol, nq) + \
             (b_new, active) + counts
 
     def _redistribute_compact(self, bufs: tuple, cnt, fills, m_cap: int):
@@ -656,15 +738,20 @@ class _Builder:
         def dense_step(isa, lcp, extra, d):
             if self.with_lcp:
                 if factor >= 3:
-                    isa, sa, lcp, qkey, lq, rq, dz, _nq, brow, active, \
+                    isa, sa, lcp, qkey, lq, rq, jcol, _nq, brow, active, \
                         ub, ue = self._stepL_local(isa, lcp, d, qs=None,
                                                    L=factor)
                 else:
                     isa, sa, lcp, qkey, lq, rq, _nq, brow, active, ub, ue = \
                         self._step_local(isa, lcp, d, q=None)
-                    dz = jnp.broadcast_to(d.astype(idt), qkey.shape)
-                lcp = self._resolve_fused_local(lcp, qkey, lq, rq, dz,
-                                                m_pad=m_pad)
+                    jcol = jnp.ones(qkey.shape, idt)
+                # PSAC_DIAG_NO_RESOLVE: benchmark diagnostic ONLY — skips
+                # the range-min resolve so its share of the LCP cost can be
+                # isolated (results are WRONG with it set)
+                import os as _os
+                if not _os.environ.get("PSAC_DIAG_NO_RESOLVE"):
+                    lcp = self._resolve_fused_local(lcp, qkey, lq, rq, jcol,
+                                                    d, m_pad=m_pad, L=factor)
             elif factor >= 3:
                 isa, sa, brow, active, ub, ue = self._stepL_local(
                     isa, d, qs=None, L=factor)
@@ -1172,7 +1259,8 @@ def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
         # two-stage sparse tail inside a single program, a single (4,)
         # readback decides whether a host-driven fallback is needed
         m_cap2 = max(8 * b.p, min(N, _pow2ceil(max(256, N // 1024))))
-        m_cap_f = max(m_cap2, min(N, _pow2ceil(N // 32)))
+        m_cap_f = max(m_cap2, min(N, _pow2ceil(
+            N // max(1, config.fused_tail_div))))
         outs = b.fused_full(m_cap_f, m_cap2, factor=fused_factor,
                             resolve_div=config.resolve_div)(
             xs, jnp.asarray(n, idt))

@@ -158,7 +158,7 @@ def block_psv(x, strict: bool):
         return st[0] * m_pad < nq
 
     def body(st):
-        c, out = st
+        c, out_pad = st
         off = jnp.minimum(c * m_pad, S - m_pad)
         kc = lax.dynamic_slice_in_dim(ks, off, m_pad)
         tc = lax.dynamic_slice_in_dim(tbs, off, m_pad)
@@ -169,12 +169,14 @@ def block_psv(x, strict: bool):
                                  offs[None, :], 0), axis=1)
         ansc = tc * B + last
         row = jnp.where(valid, kc, S)
-        padded = jnp.concatenate([out, jnp.zeros((1,), out.dtype)])
-        out = padded.at[row].set(jnp.where(valid, ansc, 0))[:S]
-        return (c + 1, out)
+        # drop-slot buffer padded ONCE outside the loop (an in-body concat
+        # re-copies the full array every chunk)
+        out_pad = out_pad.at[row].set(jnp.where(valid, ansc, 0))
+        return (c + 1, out_pad)
 
-    _, ans = lax.while_loop(cond, body, (jnp.int32(0), ans))
-    return ans[:s]
+    ans_pad = jnp.concatenate([ans, jnp.zeros((1,), ans.dtype)])
+    _, ans_pad = lax.while_loop(cond, body, (jnp.int32(0), ans_pad))
+    return ans_pad[:s]
 
 
 def _run_heads(x, psv):

@@ -18,21 +18,16 @@ AXIS = "x"
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first 2^k devices.
+    """1-D mesh over the first ``num_devices`` devices (default: all).
 
-    Power-of-two shard counts are a deliberate design constraint: the
-    distributed sort is a merge-split bitonic network over shards
-    (parallel/sort.py), whose compare-exchange stages require 2^k
-    participants.  TPU slices are power-of-two shaped in practice; on an
-    awkward device count, build the mesh over the largest 2^k subset
-    (``make_mesh(1 << (len(jax.devices()).bit_length() - 1))``), as
-    bench.py does.  (The reference instead tests awkward MPI rank counts,
-    e.g. 13 — its sample sort has no such constraint.)
+    Power-of-two shard counts run the merge-split bitonic sort network
+    (parallel/sort.py); other counts — the reference tests awkward MPI rank
+    counts like 13 — fall back to odd-even block transposition (p stages),
+    so any device count works.  TPU slices are power-of-two shaped in
+    practice, which keeps the bitonic path on real hardware.
     """
     devs = jax.devices()
     p = num_devices or len(devs)
-    if p & (p - 1):
-        raise ValueError(f"device count {p} must be a power of two for the bitonic stages")
     return jax.make_mesh((p,), (AXIS,), devices=np.asarray(devs[:p]))
 
 

@@ -54,10 +54,17 @@ def dist_sort_local(operands: tuple, num_keys: int, p: int):
     Call inside shard_map; ``operands`` are the local (s,) blocks. Ties are
     broken arbitrarily unless the caller includes a unique key (e.g. the
     global index) among the keys, which also makes the result deterministic.
+
+    Power-of-two shard counts run the bitonic network
+    (log2(p)*(log2(p)+1)/2 stages); other counts run odd-even block
+    transposition (p stages — correct for ANY p by the 0-1 principle, used
+    for awkward device counts like the reference's 13-rank MPI tests).
     """
     operands = lax.sort(tuple(operands), num_keys=num_keys, is_stable=False)
     if p == 1:
         return operands
+    if p & (p - 1):
+        return _odd_even_sort_local(operands, num_keys, p)
     i = lax.axis_index(AXIS)
     m = p.bit_length() - 1
     for k in range(1, m + 1):
@@ -68,6 +75,32 @@ def dist_sort_local(operands: tuple, num_keys: int, p: int):
             is_lower_idx = (i & (1 << j)) == 0
             take_lower = jnp.logical_not(jnp.logical_xor(ascending, is_lower_idx))
             operands = _merge_split(operands, partner_ops, num_keys, take_lower, is_lower_idx)
+    return operands
+
+
+def _odd_even_sort_local(operands: tuple, num_keys: int, p: int):
+    """Odd-even block transposition over locally-sorted blocks: p rounds of
+    neighbor merge-splits (round r pairs blocks (2i+r%2, 2i+1+r%2); edge
+    blocks without a partner pass through as ppermute self-pairs)."""
+    i = lax.axis_index(AXIS)
+    for r in range(p):
+        off = r % 2
+        partner = []
+        for a in range(p):
+            if a < off or (a - off) % 2 == 0:
+                b = a + 1 if (a >= off and a + 1 < p) else a
+            else:
+                b = a - 1
+            partner.append(b)
+        perm = [(a, partner[a]) for a in range(p)]
+        partner_ops = tuple(lax.ppermute(o, AXIS, perm) for o in operands)
+        pvec = jnp.asarray(partner, jnp.int32)[i]
+        paired = pvec != i
+        is_lower = i < pvec
+        merged = _merge_split(operands, partner_ops, num_keys,
+                              take_lower=is_lower, am_lower_rank=is_lower)
+        operands = tuple(jnp.where(paired, m, o)
+                         for m, o in zip(merged, operands))
     return operands
 
 
