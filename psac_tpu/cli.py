@@ -50,7 +50,10 @@ def cmd_psac(args) -> int:
 
     text = _load_text(args)
     mesh = _mesh(args)
-    conf = cfg.SAConfig(construct_lcp=args.lcp or args.tree, k=args.k)
+    conf = cfg.SAConfig(construct_lcp=args.lcp or args.tree, k=args.k,
+                        dense_factor=args.factor,
+                        resolve_div=args.rdiv,
+                        kmer_words=args.kmer_words)
     if args.tree:
         # single construction feeds both outputs (reference psac.cpp:96-114
         # likewise reuses the SA for the ST build)
@@ -334,6 +337,13 @@ def main(argv=None) -> int:
     s.add_argument("-c", "--check", action="store_true")
     s.add_argument("-o", "--output")
     s.add_argument("-k", type=int, default=0)
+    s.add_argument("--factor", type=int, default=4,
+                   help="dense prefix-multiplication factor (2/3/4/8; "
+                        "repeat-heavy corpora measured fastest at 8)")
+    s.add_argument("--rdiv", type=int, default=32,
+                   help="LCP-resolve chunk divisor (chunk = n/rdiv)")
+    s.add_argument("--kmer-words", type=int, default=2,
+                   help="int32 words of the initial k-mer ranking")
     s.set_defaults(fn=cmd_psac)
 
     s = sub.add_parser("gsac")
