@@ -161,6 +161,26 @@ def main():
     log("correctness gate: SA+LCP identical to native SA-IS+Kasai oracle")
 
     value = bps / p
+    # guard rail: flag a >15% drift vs the previous round's recorded value
+    # (BENCH_r03's phantom 42% "regression" was single-rep timing noise that
+    # cost a round of archaeology; a loud early flag forces a re-measure)
+    import glob as _glob
+    import re as _re
+    prev = sorted(_glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda f: int(_re.search(r"_r(\d+)", f).group(1)))
+    if prev:
+        try:
+            with open(prev[-1]) as fh:
+                old = json.load(fh)
+            old_v = float(old.get("value", 0.0))
+            if old_v > 0 and abs(value - old_v) / old_v > 0.15:
+                log(f"WARNING: value {value:.0f} drifted "
+                    f"{100 * (value - old_v) / old_v:+.0f}% vs "
+                    f"{os.path.basename(prev[-1])} ({old_v:.0f}); re-run "
+                    f"before trusting (first-rep transport noise is ~1.7x)")
+        except (ValueError, KeyError, OSError) as e:
+            log(f"note: could not compare vs {prev[-1]}: {e!r}")
     print(json.dumps({
         "metric": "SA+LCP construction throughput",
         "value": round(value, 1),

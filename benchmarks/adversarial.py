@@ -55,17 +55,28 @@ def main():
               f"{time.perf_counter() - t0:.2f}s", flush=True)
         return
 
-    # sweep: fused best-of-2 per config
+    # sweep: fused best-of-N per config (fixed seeds live in
+    # envelope.bench_corpus_text; reruns on the same code must agree)
+    reps = int(os.environ.get("ADV_REPS", 3))
     combos = [dict()]  # baseline W=2 F=4 rdiv=32
     spec = os.environ.get(
         "ADV_SWEEP", "dense_factor=8;kmer_words=3;resolve_div=8")
     for part in filter(None, spec.split(";")):
         combos.append({k: int(v) for k, v in
                        (kv.split("=") for kv in part.split(","))})
+    results = []
     for c in combos:
         conf = dataclasses.replace(cfg.DEFAULT, **c)
-        dt = time_construct(text, mesh, reps=2, conf=conf)
-        print(f"[adv] {corpus} {n}: {c} -> {dt:.2f}s", flush=True)
+        dt = time_construct(text, mesh, reps=reps, conf=conf)
+        print(f"[adv] {corpus} {n}: {c} -> {dt:.2f}s (best of {reps})",
+              flush=True)
+        results.append({"config": c, "seconds": round(dt, 2)})
+    import json
+    best = min(results, key=lambda r: r["seconds"])
+    print(json.dumps({"metric": f"adversarial {corpus} SA+LCP wall time",
+                      "value": best["seconds"], "unit": "s", "n": n,
+                      "reps": reps, "best_config": best["config"],
+                      "sweep": results}), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,21 +28,30 @@ def main():
     desa = build_desa(text, mesh=mesh)
     print(f"[desa] construct 2^{n.bit_length()-1}: "
           f"{time.perf_counter() - t0:.2f}s", flush=True)
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(1)  # fixed seed: reruns must be comparable
     B = int(os.environ.get("DESA_B", 65536))
+    reps = int(os.environ.get("DESA_REPS", 3))
+    qps = {}
     for L in (8, 20, 64):
         starts = rng.randint(0, n - L, B)
         pats = [text[s:s + L] for s in starts]
-        desa.bulk_locate(pats[:1024])  # compile
+        desa.bulk_locate(pats)  # compile + warm (full batch: same shapes)
         best = float("inf")
-        for _ in range(2):
+        for rep in range(reps):
             t0 = time.perf_counter()
             ranges = desa.bulk_locate(pats)
-            best = min(best, time.perf_counter() - t0)
+            rt = time.perf_counter() - t0
+            print(f"[desa] len {L} rep {rep}: {rt:.3f}s", flush=True)
+            best = min(best, rt)
         hits = int((ranges[:, 1] > ranges[:, 0]).sum())
         assert hits == B, (hits, B)  # every pattern is a real substring
+        qps[f"len{L}"] = round(B / best)
         print(f"[desa] len {L}: {B / best / 1e3:.0f}K q/s "
-              f"({best:.2f}s for {B})", flush=True)
+              f"(best of {reps}: {best:.2f}s for {B})", flush=True)
+    import json
+    print(json.dumps({"metric": "DESA bulk_locate throughput",
+                      "value": qps, "unit": "q/s", "n": n, "batch": B,
+                      "reps": reps, "seed": 1}), flush=True)
 
 
 if __name__ == "__main__":

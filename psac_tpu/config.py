@@ -36,7 +36,11 @@ class SAConfig:
       construct_lcp: also build the LCP array, interleaved with doubling
         (reference template flag ``_CONSTRUCT_LCP``).
       construct_lc: also build the left-branching-character array Lc
-        (reference template flag ``_CONSTRUCT_LC``), needed by DESA.
+        (reference template flag ``_CONSTRUCT_LC``), needed by DESA; the
+        result lands in ``DeviceSuffixArray.lc``.  Computed post-hoc as one
+        bulk gather — on TPU this beats the reference's interleaved
+        ``bulk_rmq_Lc`` maintenance (``include/suffix_array.hpp:1353-1396``),
+        which would add a routed RMQ to every doubling iteration.
       k: initial k-mer length; 0 = auto (max chars that fit the sort key).
       tail_threshold_frac: switch to the sparse "bucket chaising" tail when
         unfinished elements < n * frac (reference uses 1/10,

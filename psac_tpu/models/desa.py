@@ -350,7 +350,28 @@ def build_desa(text: bytes | np.ndarray, mesh=None,
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh, config)
     dsa = construct_device(xs, alpha, n, N, mesh, config)
-    lc = compute_lc_device(dsa, xs)
+    lc = dsa.lc if dsa.lc is not None else compute_lc_device(dsa, xs)
+    return _assemble_desa(xs, alpha, n, N, dsa.lcp, dsa.sa, lc, mesh,
+                          tli_bits, tli, maxsize,
+                          force_int64=getattr(config, "force_int64", False))
+
+
+def build_desa_from_file(path: str, mesh=None,
+                         config: cfg_mod.SAConfig = cfg_mod.DEFAULT,
+                         tli_bits: int = 24, tli: str = "tllt",
+                         maxsize: int | None = None) -> DESA:
+    """Multi-host DESA construction from a file: each process stages only
+    its addressable shards' byte ranges (O(n/p) host bytes per process) and
+    the alphabet histogram runs on device — the reference's distributed
+    DESA build path (``src/desa_main.cpp:64-83``,
+    ``include/desa.hpp:366-397``), which ``build_desa`` (whole text as host
+    bytes on every process) cannot serve at scale."""
+    from psac_tpu.models.suffix_array import encode_and_shard_file
+
+    mesh = mesh or make_mesh()
+    xs, alpha, n, N = encode_and_shard_file(path, mesh, config)
+    dsa = construct_device(xs, alpha, n, N, mesh, config)
+    lc = dsa.lc if dsa.lc is not None else compute_lc_device(dsa, xs)
     return _assemble_desa(xs, alpha, n, N, dsa.lcp, dsa.sa, lc, mesh,
                           tli_bits, tli, maxsize,
                           force_int64=getattr(config, "force_int64", False))
@@ -379,23 +400,24 @@ def _partition_from_prefix(ps: np.ndarray, n: int, p: int):
 
 def _sample_mask_local(lcp_l, *, s: int, p: int, n: int, maxsize: int):
     """Device LCP-sampling mask via distributed ANSV (see
-    psac_tpu.ops.sample_lcp for the characterization)."""
+    psac_tpu.ops.sample_lcp for the characterization).  Index dtype follows
+    the LCP array (int64-clean for >= 2^31-char texts, like the reference's
+    index-templated tldt, include/tldt.hpp:412-473)."""
     from psac_tpu.ops.ansv import NEAREST_SM
-    from psac_tpu.parallel.ansv import NONSV, ansv_local
+    from psac_tpu.parallel.ansv import ansv_local, nonsv_for
     from psac_tpu.parallel.collectives import global_index_base
 
+    idt = lcp_l.dtype
+    inf = nonsv_for(idt)
     N = s * p
     off = N - n
-    g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+    g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
     real = g >= off
-    # int32 is exact here: LCP values <= N, and the tldt path is gated to
-    # n < 2^31 (the ANSV match indices are int32)
-    lcp32 = lcp_l.astype(jnp.int32)
-    lcp_adj = jnp.where(real, lcp32, jnp.int32(-1))
-    lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
+    lcp_adj = jnp.where(real, lcp_l, jnp.asarray(-1, idt))
+    lcp_adj = jnp.where(g == off, jnp.asarray(0, idt), lcp_adj)
     lidx, _, ridx, _, _ = ansv_local(lcp_adj, s, p, NEAREST_SM, NEAREST_SM)
-    L = jnp.maximum(jnp.where(lidx == NONSV, off, lidx), off)
-    R = jnp.where(ridx == NONSV, N, ridx)
+    L = jnp.maximum(jnp.where(lidx == inf, off, lidx), off)
+    R = jnp.where(ridx == inf, N, ridx)
     keep = real & ((g == off) | (lcp_adj == 0) | ((R - L) > maxsize))
     return keep
 
@@ -412,12 +434,12 @@ def _sample_compact_local(keep_l, lcp_l, lc_l, *, s: int, p: int, n: int):
     from psac_tpu.parallel.collectives import global_index_base
     from psac_tpu.parallel.sort import dist_sort_local
 
+    idt = lcp_l.dtype
     N = s * p
     off = N - n
-    g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(jnp.int32)
-    # int32 exact under the tldt n < 2^31 gate (see _sample_mask_local)
-    lcp_adj = jnp.where(g == off, 0, lcp_l).astype(jnp.int32)
-    key = jnp.where(keep_l, g - off, INT32_INF)
+    g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
+    lcp_adj = jnp.where(g == off, 0, lcp_l).astype(idt)
+    key = jnp.where(keep_l, g - off, jnp.iinfo(idt).max)
     return dist_sort_local((key, lcp_adj, lc_l.astype(jnp.int32)),
                            num_keys=1, p=p)
 
@@ -437,12 +459,6 @@ def _assemble_desa(xs, alpha, n: int, N: int, lcp_block, sa_block, lc_block,
     from psac_tpu.models.suffix_array import _x64_ctx
 
     idt = jnp.int64 if force_int64 else cfg_mod.index_dtype(N)
-    if tli == "tldt" and n >= (1 << 31):
-        # the TLDT sampling mask runs distributed ANSV over the LCP array,
-        # whose global match indices are int32 (parallel/ansv.py); TLLT (the
-        # default TLI) carries the full int64 range
-        raise ValueError("tldt sampling is int32-index-bounded; use the "
-                         f"tllt TLI for n={n} >= 2^31 texts")
     with _x64_ctx(idt):
         return _assemble_desa_inner(xs, alpha, n, N, lcp_block, sa_block,
                                     lc_block, mesh, tli_bits, tli, maxsize,
@@ -822,6 +838,66 @@ def write_desa(desa: DESA, prefix: str) -> None:
     io_mod.write_u64(prefix + ".lc64", lc)
     with open(prefix + ".alpha", "wb") as f:
         f.write(desa.alphabet.chars.tobytes())
+
+
+def write_desa_distributed(desa: DESA, prefix: str) -> None:
+    """Per-process shard write of the index (O(n/p) host bytes per
+    process): each process pwrites its addressable subtree-aligned slab
+    segments at their ``begins`` file offsets — the multi-host counterpart
+    of ``write_desa`` (reference MPI-IO ``dist_desa::write``,
+    ``include/desa.hpp:366-380``).  Produces byte-identical files."""
+    import os
+
+    import jax
+
+    from psac_tpu.io import _pwrite_rows
+
+    ends = np.concatenate([desa.begins_np[1:], [desa.n]])
+    segs = (ends - desa.begins_np).astype(np.int64)
+    for suffix, slab in ((".sa64", desa.sa), (".lcp64", desa.lcp),
+                         (".lc64", desa.lc)):
+        fd = os.open(prefix + suffix, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            os.truncate(fd, 8 * desa.n)
+            for sh in slab.addressable_shards:
+                (sl,) = sh.index
+                lo = sl.start or 0
+                t = lo // desa.cap
+                seg = np.asarray(sh.data)[:segs[t]]
+                if seg.shape[0]:
+                    _pwrite_rows(fd, seg, int(desa.begins_np[t]))
+        finally:
+            os.close(fd)
+    if jax.process_index() == 0:
+        with open(prefix + ".alpha", "wb") as f:
+            f.write(desa.alphabet.chars.tobytes())
+
+
+def read_desa_from_file(text_path: str, prefix: str, mesh=None,
+                        tli_bits: int = 24, tli: str = "tllt",
+                        maxsize: int | None = None,
+                        force_int64: bool = False) -> DESA:
+    """Load a persisted DESA with BOTH the text and the artifacts staged
+    per-process (O(n/p) host bytes each; the multi-host counterpart of
+    ``read_desa``, matching the reference's distributed ``dist_desa::read``
+    + input file read, ``src/desa_main.cpp:64-83``)."""
+    import os
+
+    from psac_tpu import io as io_mod
+    from psac_tpu.models.suffix_array import encode_and_shard_file
+
+    mesh = mesh or make_mesh()
+    xs, alpha, n, N = encode_and_shard_file(text_path, mesh)
+    n_art = os.path.getsize(prefix + ".sa64") // 8
+    if n_art != n:
+        raise ValueError(f"index built for n={n_art}, text has n={n}")
+    idt = jnp.int64 if force_int64 else cfg_mod.index_dtype(N)
+    np_idt = np.dtype(jnp.dtype(idt).name)
+    sa, _, _ = io_mod.stage_u64_front_padded(prefix + ".sa64", mesh, np_idt)
+    lcp, _, _ = io_mod.stage_u64_front_padded(prefix + ".lcp64", mesh, np_idt)
+    lc, _, _ = io_mod.stage_u64_front_padded(prefix + ".lc64", mesh, np.int32)
+    return _assemble_desa(xs, alpha, n, N, lcp, sa, lc, mesh, tli_bits, tli,
+                          maxsize, force_int64=force_int64)
 
 
 def read_desa(text: bytes | np.ndarray, prefix: str, mesh=None,

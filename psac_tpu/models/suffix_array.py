@@ -90,6 +90,11 @@ class DeviceSuffixArray:
     n: int
     N: int
     mesh: object
+    #: left-branching characters (reference ``_CONSTRUCT_LC``), present when
+    #: ``SAConfig.construct_lc`` was set (computed post-hoc as one bulk
+    #: gather — the TPU-native replacement for the reference's interleaved
+    #: ``bulk_rmq_Lc`` maintenance, include/suffix_array.hpp:1353-1396)
+    lc: jax.Array | None = None
 
     def block_until_ready(self):
         jax.block_until_ready(self.sa)
@@ -1218,8 +1223,13 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
 
     idt = index_dtype_for(N, config)
     with _x64_ctx(idt):
-        return _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
-                                       k, ks, bits, timer)
+        dsa = _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
+                                      k, ks, bits, timer)
+    if config.construct_lc:
+        if not config.construct_lcp:
+            raise ValueError("construct_lc requires construct_lcp")
+        dsa = dataclasses.replace(dsa, lc=compute_lc_device(dsa, xs))
+    return dsa
 
 
 def kmer_words_for(bits_per_char: int,

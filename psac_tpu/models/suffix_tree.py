@@ -43,7 +43,7 @@ from psac_tpu.models.suffix_array import (
     encode_and_shard,
 )
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
-from psac_tpu.parallel.ansv import NONSV, ansv_local
+from psac_tpu.parallel.ansv import ansv_local, nonsv_for
 from psac_tpu.parallel.collectives import global_index_base, halo_from_right
 from psac_tpu.parallel.mesh import AXIS, make_mesh, mesh_key, num_shards
 from psac_tpu.parallel.route import cap_for, route_apply, route_scatter
@@ -70,14 +70,21 @@ def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int,
 
     Returns per-edge (parents [padded coords], childs [node ids], elcp
     [parent depth], savals, valid), each of length 2s (leaf block then
-    internal block), plus the routing-overflow count."""
+    internal block), plus the routing-overflow count.
+
+    Node ids, the ANSV match indices, and the LCP values all carry the
+    build's index dtype (the reference's ``index_t``-templated node table,
+    ``include/suffix_tree.hpp:479``): leaf ids reach 2n-1, so int64 builds
+    stay exact past n = 2^30."""
+    idt = lcp_l.dtype
+    inf = nonsv_for(idt)
     N = s * p
     off = N - n
-    g = global_index_base(s) + jnp.arange(s, dtype=jnp.int32)
+    g = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(idt)
     is_real = g >= off
 
-    lcp_adj = jnp.where(is_real, lcp_l, jnp.int32(-1))
-    lcp_adj = jnp.where(g == off, jnp.int32(0), lcp_adj)
+    lcp_adj = jnp.where(is_real, lcp_l, jnp.asarray(-1, idt))
+    lcp_adj = jnp.where(g == off, jnp.asarray(0, idt), lcp_adj)
 
     lidx, lval, ridx, rval, ovf = ansv_local(
         lcp_adj, s, p, FURTHEST_EQ, NEAREST_SM, capscale=capscale)
@@ -89,14 +96,14 @@ def _parent_edges(lcp_l, sa_l, s: int, p: int, n: int,
 
     # ---- leaf edges (one per real position) -------------------------------
     left_case = lcp_cur >= lcp_next
-    dup = (lval == lcp_cur) & (lidx != NONSV)
+    dup = (lval == lcp_cur) & (lidx != inf)
     leaf_parent = jnp.where(left_case, jnp.where(dup, lidx, g), g + 1)
     leaf_elcp = jnp.where(left_case, lcp_cur, lcp_next)
-    leaf_child = jnp.int32(n) + (g - off)
+    leaf_child = jnp.asarray(n, idt) + (g - off)
     leaf_valid = is_real
 
     # ---- internal-node edges ----------------------------------------------
-    use_left = (ridx == NONSV) | (lval >= rval)
+    use_left = (ridx == inf) | (lval >= rval)
     int_parent = jnp.where(use_left, lidx, ridx)
     int_elcp = jnp.where(use_left, lval, rval)
     int_child = g - off
@@ -116,17 +123,18 @@ def _gather_from(arr_l, idx, valid, s: int, p: int,
 
     Returns (values, overflow-count); ``capscale`` bounds the routing
     buffers (reference ``bulk_rma``'s all2allv moves O(m); the capped
-    exchange matches that for balanced index distributions)."""
+    exchange matches that for balanced index distributions).  Query indices
+    and answers carry their own dtypes (int64-clean for >2^31-char texts)."""
     N = s * p
-    r = lax.axis_index(AXIS).astype(jnp.int32)
     safe = jnp.clip(jnp.where(valid, idx, 0), 0, N - 1)
-    dest = safe // s
+    dest = (safe // s).astype(jnp.int32)
+    base = lax.axis_index(AXIS).astype(safe.dtype) * s
 
     def gather(recv, recv_valid):
         (q,) = recv
-        return (arr_l[jnp.clip(q - r * s, 0, s - 1)],)
+        return (arr_l[jnp.clip((q - base).astype(jnp.int32), 0, s - 1)],)
 
-    (out,), ovf = route_apply((safe,), dest, gather, (jnp.int32,), p,
+    (out,), ovf = route_apply((safe,), dest, gather, (arr_l.dtype,), p,
                               cap=cap_for(idx.shape[0], p, capscale),
                               skip=~valid, with_overflow=True)
     return jnp.where(valid, out, 0), ovf
@@ -146,9 +154,10 @@ def _st_local(lcp_l, sa_l, xs_l, *, s: int, p: int, n: int, sigma: int,
     # ---- scatter child ids into the (N rows, sigma+1 slots) node table ----
     # routed by (node row, slot): the flat global index N*(sigma+1) (the
     # reference's uint64-addressed table, include/suffix_tree.hpp:479)
-    # never materializes, so byte-alphabet texts need no int64 promotion
+    # never materializes, so byte-alphabet texts need no int64 promotion;
+    # the table itself carries the index dtype (leaf ids reach 2n-1)
     width = sigma + 1
-    nodes = jnp.zeros((s * width,), jnp.int32)
+    nodes = jnp.zeros((s * width,), lcp_l.dtype)
     (nodes,), ovf_s = route_scatter(
         parents, (childs,), (nodes,), valid, s, p,
         cap=cap_for(parents.shape[0], p, capscale), with_overflow=True,
@@ -165,8 +174,9 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
     (reference drops ``root_edges``, suffix_tree.hpp:546-552)."""
     parents, childs, elcp, savals, valid, ovf = _parent_edges(
         lcp_l, sa_l, s, p, n, capscale)
+    idt = lcp_l.dtype
     width = sigma + 2
-    INF = jnp.iinfo(jnp.int32).max
+    INF = jnp.iinfo(idt).max
 
     # both edge blocks share sa_l as their gather index: gather once
     vhalf = valid[:s] | valid[s:]
@@ -183,7 +193,7 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
     # slot 0 accumulates a min: initialize via an elementwise iota mask (a
     # 16M strided scatter costs ~10x one pass over the table)
     slot0 = jnp.arange(s * width, dtype=jnp.int32) % width == 0
-    nodes = jnp.where(slot0, INF, 0).astype(jnp.int32)
+    nodes = jnp.where(slot0, INF, 0).astype(idt)
 
     scap = cap_for(parents.shape[0], p, capscale)
     # routed by (node row, slot) — see route_scatter: no flat N*width index
@@ -234,34 +244,42 @@ _ST_CACHE: dict = {}
 
 def construct_suffix_tree_device(dsa: DeviceSuffixArray, xs, mesh) -> DeviceSuffixTree:
     """Build the flat suffix tree from a device-resident SA+LCP and the
-    encoded padded text ``xs`` (as produced by ``encode_and_shard``)."""
+    encoded padded text ``xs`` (as produced by ``encode_and_shard``).  The
+    node table follows the SA's index dtype (int64 builds trace int64 node
+    ids — the reference's index_t table, include/suffix_tree.hpp:479)."""
+    from psac_tpu.models.suffix_array import _x64_ctx
+
     if dsa.lcp is None:
         raise ValueError("suffix tree construction requires the LCP array")
     p = num_shards(mesh)
     s = dsa.N // p
     sigma = dsa.alphabet.sigma
-    _check_local_table(s, sigma + 1, dsa.sa.dtype)
-    for capscale in (6, None):
-        key = (mesh_key(mesh), dsa.N, dsa.n, sigma, capscale)
-        if key not in _ST_CACHE:
-            fn = jax.shard_map(
-                functools.partial(_st_local, s=s, p=p, n=dsa.n, sigma=sigma,
-                                  capscale=capscale),
-                mesh=mesh, in_specs=(P(AXIS),) * 3,
-                out_specs=(P(AXIS), P()))
-            _ST_CACHE[key] = jax.jit(fn)
-        nodes, ovf = _ST_CACHE[key](dsa.lcp, dsa.sa, xs)
-        if capscale is None or p == 1 or int(ovf) == 0:
-            break
+    idt = jnp.dtype(dsa.sa.dtype)
+    _check_local_table(s, sigma + 1, idt)
+    with _x64_ctx(idt):
+        for capscale in (6, None):
+            key = (mesh_key(mesh), dsa.N, dsa.n, sigma, capscale, idt.name)
+            if key not in _ST_CACHE:
+                fn = jax.shard_map(
+                    functools.partial(_st_local, s=s, p=p, n=dsa.n,
+                                      sigma=sigma, capscale=capscale),
+                    mesh=mesh, in_specs=(P(AXIS),) * 3,
+                    out_specs=(P(AXIS), P()))
+                _ST_CACHE[key] = jax.jit(fn)
+            nodes, ovf = _ST_CACHE[key](dsa.lcp, dsa.sa, xs)
+            if capscale is None or p == 1 or int(ovf) == 0:
+                break
     return DeviceSuffixTree(nodes=nodes, sigma=sigma, n=dsa.n, N=dsa.N)
 
 
-def build_suffix_tree(text: bytes | np.ndarray, mesh=None) -> np.ndarray:
+def build_suffix_tree(text: bytes | np.ndarray, mesh=None,
+                      config=None) -> np.ndarray:
     """Host convenience: SA+LCP construction + suffix tree; returns the
     (n, sigma+1) int64 node table (the reference's ``psac -t`` output)."""
     mesh = mesh or make_mesh()
     xs, alpha, n, N = encode_and_shard(text, mesh)
-    dsa = construct_device(xs, alpha, n, N, mesh)
+    kw = {} if config is None else {"config": config}
+    dsa = construct_device(xs, alpha, n, N, mesh, **kw)
     return construct_suffix_tree_device(dsa, xs, mesh).materialize()
 
 
@@ -270,13 +288,16 @@ _GST_CACHE: dict = {}
 
 def construct_gst_device(dgsa) -> DeviceSuffixTree:
     """Generalized suffix tree from a device-resident GSA (+GLCP)."""
+    from psac_tpu.models.suffix_array import _x64_ctx
+
     if dgsa.lcp is None:
         raise ValueError("GST construction requires the GLCP array")
     mesh = dgsa.mesh
     p = num_shards(mesh)
     s = dgsa.N // p
     sigma = dgsa.alphabet.sigma
-    _check_local_table(s, sigma + 2, dgsa.sa.dtype)
+    idt = jnp.dtype(dgsa.sa.dtype)
+    _check_local_table(s, sigma + 2, idt)
     m = max(1, len(dgsa.lens))
     # first-try $-edge compaction capacity.  Random string sets produce
     # ~log_sigma(n) $-leaves PER STRING (every suffix short enough to match
@@ -289,18 +310,21 @@ def construct_gst_device(dgsa) -> DeviceSuffixTree:
     if 64 * dlr0 < 2 * s:
         ladder.append((None, 64 * dlr0))
     ladder.append((None, 2 * s))
-    for i, (capscale, dlr_cap) in enumerate(ladder):
-        key = (mesh_key(mesh), dgsa.N, dgsa.n, sigma, capscale, dlr_cap)
-        if key not in _GST_CACHE:
-            fn = jax.shard_map(
-                functools.partial(_gst_local, s=s, p=p, n=dgsa.n, sigma=sigma,
-                                  dlr_cap=dlr_cap, capscale=capscale),
-                mesh=mesh, in_specs=(P(AXIS),) * 4,
-                out_specs=(P(AXIS), P()))
-            _GST_CACHE[key] = jax.jit(fn)
-        nodes, ovf = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
-        if i == len(ladder) - 1 or int(ovf) == 0:
-            break
+    with _x64_ctx(idt):
+        for i, (capscale, dlr_cap) in enumerate(ladder):
+            key = (mesh_key(mesh), dgsa.N, dgsa.n, sigma, capscale, dlr_cap,
+                   idt.name)
+            if key not in _GST_CACHE:
+                fn = jax.shard_map(
+                    functools.partial(_gst_local, s=s, p=p, n=dgsa.n,
+                                      sigma=sigma, dlr_cap=dlr_cap,
+                                      capscale=capscale),
+                    mesh=mesh, in_specs=(P(AXIS),) * 4,
+                    out_specs=(P(AXIS), P()))
+                _GST_CACHE[key] = jax.jit(fn)
+            nodes, ovf = _GST_CACHE[key](dgsa.lcp, dgsa.sa, dgsa.xs, dgsa.eos)
+            if i == len(ladder) - 1 or int(ovf) == 0:
+                break
     return DeviceSuffixTree(nodes=nodes, sigma=sigma + 1, n=dgsa.n, N=dgsa.N)
 
 

@@ -43,6 +43,12 @@ from psac_tpu.parallel.route import cap_for, route_apply
 NONSV = INT32_INF
 
 
+def nonsv_for(dt):
+    """No-match sentinel for an index/value dtype (one above any valid
+    global index; the int32 value is the historical ``NONSV``)."""
+    return jnp.iinfo(dt).max
+
+
 def _shard_last_lt(sm, v, lim, strict: bool):
     """Largest shard t < lim with sm[t] < v (or <= v); -1 if none. v, lim: (q,)."""
     p = sm.shape[0]
@@ -63,12 +69,15 @@ def _shard_first_eq(sm, v, tlo, thi):
 def _left_nearest(x, table, sm, s: int, p: int, strict: bool,
                   cap: int | None = None):
     """nearest_sm (strict) / nearest_eq left matches; returns
-    (gidx, value, overflow-count)."""
+    (gidx, value, overflow-count).  Index/value dtype follows ``x`` (the
+    reference's ``index_t``/``T`` templates, include/ansv.hpp:2042-2051)."""
     from psac_tpu.ops.bansv import block_psv
 
+    idt = x.dtype
+    inf = nonsv_for(idt)
     v = x
     r = lax.axis_index(AXIS).astype(jnp.int32)
-    base = r * s
+    base = (lax.axis_index(AXIS).astype(idt) * s).astype(idt)
     r_vec = jnp.full((s,), r, jnp.int32)
 
     # full-width per-element local matches run on the block engine (the
@@ -81,16 +90,19 @@ def _left_nearest(x, table, sm, s: int, p: int, strict: bool,
 
     def answer(recv, recv_valid):
         (qv,) = recv
-        j = prev_lt(table, jnp.full_like(qv, s), qv, strict=strict)
+        j = prev_lt(table, jnp.full_like(qv, s, dtype=jnp.int32), qv,
+                    strict=strict)
         ok = recv_valid & (j >= 0)
         val = x[jnp.maximum(j, 0)]
-        return (jnp.where(ok, base + j, NONSV), jnp.where(ok, val, 0))
+        return (jnp.where(ok, base + j, inf).astype(idt),
+                jnp.where(ok, val, 0).astype(idt))
 
     (ridx, rval), ovf = route_apply((v,), dest, answer,
-                                    (jnp.int32, jnp.int32), p, cap=cap,
+                                    (idt, idt), p, cap=cap,
                                     skip=skip, with_overflow=True)
-    idx = jnp.where(found, base + jl, jnp.where(C >= 0, ridx, NONSV))
-    val = jnp.where(found, x[jnp.maximum(jl, 0)], jnp.where(C >= 0, rval, 0))
+    idx = jnp.where(found, base + jl, jnp.where(C >= 0, ridx, inf)).astype(idt)
+    val = jnp.where(found, x[jnp.maximum(jl, 0)],
+                    jnp.where(C >= 0, rval, 0)).astype(idt)
     return idx, val, ovf
 
 
@@ -108,10 +120,12 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
     """
     from psac_tpu.ops.bansv import block_psv
 
+    idt = x.dtype
+    inf = nonsv_for(idt)
     v = x
     i_loc = jnp.arange(s, dtype=jnp.int32)
     r = lax.axis_index(AXIS).astype(jnp.int32)
-    base = r * s
+    base = (lax.axis_index(AXIS).astype(idt) * s).astype(idt)
     r_vec = jnp.full((s,), r, jnp.int32)
 
     jstar = block_psv(v, strict=True)  # full-width local nearest-smaller
@@ -122,7 +136,8 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
 
     def answer1(recv, recv_valid):
         (qv,) = recv
-        j = prev_lt(table, jnp.full_like(qv, s), qv, strict=True)
+        j = prev_lt(table, jnp.full_like(qv, s, dtype=jnp.int32), qv,
+                    strict=True)
         jsafe = jnp.maximum(j, 0)
         v2 = x[jsafe]
         # leftmost visible member of j*'s run inside this shard, and whether
@@ -132,14 +147,15 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
         # leftmost occurrence of the *query* value after j* (all elements in
         # (j*, i) are >= qv, so the first <= qv is an equal and is visible)
         e_after = next_leq(table, jsafe + 1, qv)
-        return (base + j, v2, base + jnp.minimum(e_home, s - 1),
+        return ((base + j).astype(idt), v2,
+                (base + jnp.minimum(e_home, s - 1)).astype(idt),
                 (j0 == 0).astype(jnp.int32),
-                base + jnp.minimum(e_after, s - 1),
+                (base + jnp.minimum(e_after, s - 1)).astype(idt),
                 (e_after < s).astype(jnp.int32))
 
     (g1, v2_1, eh1, ext1, ea1, ea1_ok), ovf1 = route_apply(
-        (v,), dest1, answer1, (jnp.int32,) * 6, p, cap=cap, skip=~has_rem,
-        with_overflow=True)
+        (v,), dest1, answer1, (idt, idt, idt, jnp.int32, idt, jnp.int32),
+        p, cap=cap, skip=~has_rem, with_overflow=True)
 
     # same run info computed locally for elements whose j* is in-shard
     jsafe = jnp.maximum(jstar, 0)
@@ -148,11 +164,12 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
     eh_l = next_leq(table, j0_l, v2_l)
 
     has_star = has_loc | has_rem
-    gstar = jnp.where(has_loc, base + jstar, g1)
-    v2 = jnp.where(has_loc, v2_l, v2_1)
-    e_home = jnp.where(has_loc, base + jnp.minimum(eh_l, s - 1), eh1)
+    gstar = jnp.where(has_loc, base + jstar, g1).astype(idt)
+    v2 = jnp.where(has_loc, v2_l, v2_1).astype(idt)
+    e_home = jnp.where(has_loc, base + jnp.minimum(eh_l, s - 1),
+                       eh1).astype(idt)
     extend = jnp.where(has_loc, j0_l == 0, ext1 != 0)
-    shard_g = jnp.where(has_star, gstar // s, -1)
+    shard_g = jnp.where(has_star, (gstar // s).astype(jnp.int32), -1)
     # equal of v in shard(j*)'s suffix after a *remote* j*
     e_after_ok = has_rem & (ea1_ok != 0)
 
@@ -189,14 +206,16 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
         # leftmost occurrence of qv after this shard's last element < qv
         # (= the leftmost visible occurrence of qv; j0 == 0 when min == qv)
         (qv,) = recv
-        j0 = prev_lt(table, jnp.full_like(qv, s), qv, strict=True) + 1
+        j0 = prev_lt(table, jnp.full_like(qv, s, dtype=jnp.int32), qv,
+                     strict=True) + 1
         e = next_leq(table, j0, qv)
-        return (base + jnp.minimum(e, s - 1), (e < s).astype(jnp.int32))
+        return ((base + jnp.minimum(e, s - 1)).astype(idt),
+                (e < s).astype(jnp.int32))
 
     (e_a, e_a_ok), ovf2 = route_apply((qval_a,), dest_a, answer2,
-                                      (jnp.int32,) * 2, p, cap=cap,
+                                      (idt, jnp.int32), p, cap=cap,
                                       skip=skip_a, with_overflow=True)
-    (e_b, _), ovf3 = route_apply((v2,), dest_b, answer2, (jnp.int32,) * 2, p,
+    (e_b, _), ovf3 = route_apply((v2,), dest_b, answer2, (idt, jnp.int32), p,
                                  cap=cap, skip=skip_b, with_overflow=True)
 
     ext_idx = jnp.where(want_c2 & (e_a_ok != 0), e_a,
@@ -206,22 +225,25 @@ def _left_furthest_eq(x, table, sm, s: int, p: int,
         jnp.where(t_eq_ok, e_a,
                   jnp.where(e_loc_ok, base + e_loc,
                             jnp.where(has_star, jnp.where(extend, ext_idx, e_home),
-                                      NONSV))))
+                                      inf)))).astype(idt)
     val = jnp.where(e_after_ok | t_eq_ok | e_loc_ok, v,
-                    jnp.where(has_star, v2, 0))
+                    jnp.where(has_star, v2, 0)).astype(idt)
     return idx, val, ovf1 + ovf2 + ovf3
 
 
 def _left_match_local_only(x, s: int, typ: int):
-    """Walk-based local-only matches (single-shard semantics)."""
+    """Walk-based local-only matches (single-shard semantics); index/value
+    dtype follows ``x``."""
+    idt = x.dtype
+    inf = nonsv_for(idt)
     table = build_min_table(x)
     i_loc = jnp.arange(s, dtype=jnp.int32)
     v = x
     if typ != FURTHEST_EQ:
         jl = prev_lt(table, i_loc, v, strict=(typ == NEAREST_SM))
         found = jl >= 0
-        return (jnp.where(found, jl, NONSV),
-                jnp.where(found, x[jnp.maximum(jl, 0)], 0))
+        return (jnp.where(found, jl, inf).astype(idt),
+                jnp.where(found, x[jnp.maximum(jl, 0)], 0).astype(idt))
     jstar = prev_lt(table, i_loc, v, strict=True)
     e_loc = next_leq(table, jstar + 1, v)
     has_eq = e_loc < i_loc
@@ -230,9 +252,9 @@ def _left_match_local_only(x, s: int, typ: int):
     j0 = prev_lt(table, jsafe + 1, v2, strict=True) + 1
     eh = jnp.minimum(next_leq(table, j0, v2), s - 1)
     idx = jnp.where(has_eq, e_loc,
-                    jnp.where(jstar >= 0, eh, NONSV))
-    val = jnp.where(has_eq, v, jnp.where(jstar >= 0, v2, 0))
-    return idx, jnp.where(idx == NONSV, 0, val)
+                    jnp.where(jstar >= 0, eh, inf)).astype(idt)
+    val = jnp.where(has_eq, v, jnp.where(jstar >= 0, v2, 0)).astype(idt)
+    return idx, jnp.where(idx == inf, 0, val).astype(idt)
 
 
 def _engine() -> str:
@@ -290,11 +312,13 @@ def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
 
 def _left_match_p1(x, s: int, typ: int):
     """Single-shard one-side fast path (see ``_engine``)."""
+    idt = x.dtype
     if _engine() == "block":
         from psac_tpu.ops.bansv import nsv_left
 
         idx, val = nsv_left(x, typ)
-        return jnp.where(idx < 0, NONSV, idx), val
+        return (jnp.where(idx < 0, nonsv_for(idt), idx.astype(idt)),
+                val.astype(idt))
     if not _use_scan() or x.dtype != jnp.int32:
         return _left_match_local_only(x, s, typ)
 
@@ -360,52 +384,13 @@ def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
     ridx_r = _reverse_dist(ridx_r, p)
     rval = _reverse_dist(rval_r, p)
     N = s * p
-    ridx = jnp.where(ridx_r == NONSV, NONSV, N - 1 - ridx_r)
+    inf = nonsv_for(x_l.dtype)
+    ridx = jnp.where(ridx_r == inf, inf,
+                     jnp.asarray(N - 1, x_l.dtype) - ridx_r)
     return lidx, lval, ridx, rval, ovf
 
 
 _JIT_CACHE: dict = {}
-
-
-def _ansv_wide(vals, left_type: int, right_type: int, nonsv, indexing: str):
-    """ANSV for values that do not fit int32 (the reference's ``ansv`` is
-    templated over T, ``include/ansv.hpp:2042-2051``): the dtype-generic
-    hierarchical-window walk engine on a single shard under a scoped x64
-    context.  The distributed int32 pipeline's routed answers are
-    int32-typed, so wide *values* (as opposed to wide indexes, which the
-    int64 builds handle) take this path instead of being silently
-    truncated."""
-    from psac_tpu.models.suffix_array import _x64_ctx
-
-    n = len(vals)
-    sent = n if nonsv is None else nonsv
-    with _x64_ctx(np.int64):
-        x = jnp.asarray(np.asarray(vals, np.int64))
-        lidx, lval = _left_match_local_only(x, n, left_type)
-        ridx_r, rval_r = _left_match_local_only(x[::-1], n, right_type)
-        lidx, lval, ridx_r, rval_r = jax.device_get(
-            (lidx, lval, ridx_r, rval_r))
-    left = np.asarray(lidx).astype(np.int64)
-    lmiss = left == NONSV
-    rr = np.asarray(ridx_r).astype(np.int64)
-    rmiss = (rr == NONSV)[::-1].copy()
-    right = np.where(rr == NONSV, NONSV, n - 1 - rr)[::-1].copy()
-    left[lmiss] = sent
-    right[rmiss] = sent
-    if indexing == "global":
-        return left, right
-    if indexing != "local":
-        raise ValueError(f"indexing must be 'global' or 'local': {indexing}")
-    lv = np.asarray(lval).astype(np.int64)
-    rv = np.asarray(rval_r).astype(np.int64)[::-1].copy()
-    lv[lmiss] = 0
-    rv[rmiss] = 0
-    # single shard: rank 0 everywhere, local index = global index
-    lrank = np.where(lmiss, -1, 0)
-    rrank = np.where(rmiss, -1, 0)
-    lloc = np.where(lmiss, sent, left)
-    rloc = np.where(rmiss, sent, right)
-    return (lrank, lloc, lv), (rrank, rloc, rv)
 
 
 def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
@@ -416,6 +401,8 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
     (``include/ansv.hpp:2042-2051``; indexing types
     ``include/ansv_common.hpp:20-25``).  ``nonsv`` defaults to n (one past
     the end), mirroring the caller-chosen sentinel of the reference.
+    Values that do not fit int32 run the same distributed pipeline at int64
+    under a scoped x64 context (the reference's ``T`` template).
 
     - ``indexing="global"``: returns (left, right) np.int64 global indices.
     - ``indexing="local"``: returns (left, right) where each side is a
@@ -427,38 +414,46 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
       ``lr_mins`` entries); unmatched elements get rank = -1,
       local_idx = ``nonsv``, value = 0.
     """
+    from psac_tpu.models.suffix_array import _x64_ctx
+
     vals = np.asarray(arr)
     i32 = np.iinfo(np.int32)
-    if vals.size and (int(vals.min()) < i32.min or int(vals.max()) >= i32.max):
-        # >= max: INT32_INF doubles as the +inf padding sentinel below
-        return _ansv_wide(vals, left_type, right_type, nonsv, indexing)
+    wide = bool(vals.size) and (int(vals.min()) < i32.min
+                                or int(vals.max()) >= i32.max)
+    dt = np.int64 if wide else np.int32
+    infd = np.iinfo(dt).max  # doubles as the +inf padding sentinel
     mesh = mesh or make_mesh()
     p = num_shards(mesh)
     n = len(arr)
     N = padded_size(max(n, 1), p)
-    xp = np.full(N, INT32_INF, np.int32)
-    xp[:n] = vals.astype(np.int32)
-    xs = jax.device_put(xp, block_sharding(mesh))
+    xp = np.full(N, infd, dt)
+    xp[:n] = vals.astype(dt)
 
     s = N // p
-    for capscale in (4, None):
-        key = (mesh_key(mesh), N, left_type, right_type, capscale)
-        if key not in _JIT_CACHE:
-            fn = jax.shard_map(
-                functools.partial(ansv_local, s=s, p=p, left_type=left_type,
-                                  right_type=right_type, capscale=capscale),
-                mesh=mesh, in_specs=(P(AXIS),),
-                out_specs=(P(AXIS),) * 4 + (P(),))
-            _JIT_CACHE[key] = jax.jit(fn)
-        lidx, lval, ridx, rval, ovf = _JIT_CACHE[key](xs)
-        if capscale is None or int(ovf) == 0:
-            break
+    with _x64_ctx(dt):
+        xs = jax.device_put(xp, block_sharding(mesh))
+        for capscale in (4, None):
+            key = (mesh_key(mesh), N, left_type, right_type, capscale,
+                   np.dtype(dt).name)
+            if key not in _JIT_CACHE:
+                fn = jax.shard_map(
+                    functools.partial(ansv_local, s=s, p=p,
+                                      left_type=left_type,
+                                      right_type=right_type,
+                                      capscale=capscale),
+                    mesh=mesh, in_specs=(P(AXIS),),
+                    out_specs=(P(AXIS),) * 4 + (P(),))
+                _JIT_CACHE[key] = jax.jit(fn)
+            lidx, lval, ridx, rval, ovf = _JIT_CACHE[key](xs)
+            if capscale is None or int(ovf) == 0:
+                break
+        lidx, lval, ridx, rval = jax.device_get((lidx, lval, ridx, rval))
     sent = n if nonsv is None else nonsv
-    left = np.asarray(jax.device_get(lidx))[:n].astype(np.int64)
-    right = np.asarray(jax.device_get(ridx))[:n].astype(np.int64)
-    lmiss = left == NONSV
+    left = np.asarray(lidx)[:n].astype(np.int64)
+    right = np.asarray(ridx)[:n].astype(np.int64)
+    lmiss = left == infd
     # a right match pointing into the +inf padding means "no match"
-    rmiss = (right == NONSV) | (right >= n)
+    rmiss = (right == infd) | (right >= n)
     left[lmiss] = sent
     right[rmiss] = sent
     if indexing == "global":

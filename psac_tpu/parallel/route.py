@@ -67,8 +67,12 @@ def _bucket_by_dest(dest, p: int, cap: int, skip=None):
     skipped = dsort >= p
     ovf = (slot >= cap) & ~skipped
     dropped = ovf | skipped
-    flat_pos = jnp.where(dropped, jnp.int32(p * cap),
-                         dsort.astype(jnp.int32) * cap + slot)
+    # the flat send-buffer index reaches p*cap, which exceeds int32 for
+    # huge per-shard record counts (the 2^31-char int64 builds)
+    fdt = jnp.int32 if p * cap < (1 << 31) else \
+        jax.dtypes.canonicalize_dtype(jnp.int64)
+    flat_pos = jnp.where(dropped, jnp.asarray(p * cap, fdt),
+                         dsort.astype(fdt) * cap + slot)
     return order, dropped, ovf, flat_pos
 
 

@@ -250,16 +250,20 @@ def test_block_engine_small_blocks(typ, monkeypatch):
 def test_wide_values(lt, rt):
     """Values beyond int32 must not be silently truncated (the reference's
     ansv is templated over T, include/ansv.hpp:2042-2051): the public
-    ansv() routes them through the dtype-generic walk path."""
+    ansv() runs them through the SAME distributed pipeline at int64 under a
+    scoped x64 context (no single-shard serial fallback)."""
     from psac_tpu.parallel.ansv import ansv
+    from psac_tpu.parallel.mesh import make_mesh, num_shards, padded_size
 
     rng = np.random.RandomState(9)
     a = (rng.randint(0, 2**31, size=333).astype(np.int64) << 10) + 5
     a[::7] = a[3]  # equal runs for the *_eq semantics
     cases = [a, np.full(50, np.int64(1) << 35),
              np.array([2**33, 5, 2**34, 2**34, 7, 2**33], np.int64)]
+    p = num_shards(make_mesh())
     for arr in cases:
         n = len(arr)
+        s = padded_size(n, p) // p
         want_l, want_r = ansv_seq(arr, lt, rt, nonsv=n)
         got_l, got_r = ansv(arr, lt, rt)
         np.testing.assert_array_equal(got_l, want_l)
@@ -271,7 +275,8 @@ def test_wide_values(lt, rt):
             miss = want == n
             np.testing.assert_array_equal(rank[miss], -1)
             np.testing.assert_array_equal(val[miss], 0)
-            np.testing.assert_array_equal(loc[~miss], want[~miss])
+            np.testing.assert_array_equal(rank[~miss] * s + loc[~miss],
+                                          want[~miss])
             np.testing.assert_array_equal(val[~miss], arr[want[~miss]])
 
 

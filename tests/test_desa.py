@@ -166,13 +166,91 @@ def test_desa_force_int64(mesh8):
     check_patterns(d64, text, sa, pats)
 
 
-def test_desa_tldt_int64_gate():
-    """tldt sampling is int32-index-bounded; >= 2^31 texts must be rejected
-    with a clear error BEFORE construction."""
-    import pytest as _pytest
+def test_desa_tldt_int64_2pow31_shapes(mesh8):
+    """The tldt sampling mask (distributed ANSV over the LCP) must trace at
+    2^31 chars with int64 indexes (the reference's index-templated tldt,
+    include/tldt.hpp:412-473; the former int32 gate is lifted)."""
+    import functools
 
-    from psac_tpu.models.desa import _assemble_desa
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
-    with _pytest.raises(ValueError, match="tldt"):
-        _assemble_desa(None, None, 1 << 31, 1 << 31, None, None, None,
-                       None, 24, tli="tldt")
+    from psac_tpu.models.desa import _sample_mask_count_local
+    from psac_tpu.models.suffix_array import _x64_ctx
+    from psac_tpu.parallel.mesh import AXIS
+
+    N = 1 << 31
+    p = 8
+    s = N // p
+    with _x64_ctx(jnp.int64):
+        fn = jax.shard_map(
+            functools.partial(_sample_mask_count_local, s=s, p=p, n=N - 5,
+                              maxsize=1 << 20),
+            mesh=mesh8, in_specs=(P(AXIS),), out_specs=(P(AXIS), P()))
+        lcp = jax.ShapeDtypeStruct((N,), jnp.int64)
+        keep, cnt = jax.eval_shape(fn, lcp)
+        assert keep.shape == (N,) and keep.dtype == jnp.bool_
+
+
+def test_desa_staged_build_and_distributed_io(mesh8, tmp_path):
+    """``build_desa_from_file`` (per-process staged read, reference
+    desa_main.cpp:64-83) must match ``build_desa`` on the same bytes;
+    ``write_desa_distributed`` must produce byte-identical artifacts to
+    ``write_desa``; ``read_desa_from_file`` must answer identically."""
+    from psac_tpu.models.desa import (
+        build_desa,
+        build_desa_from_file,
+        read_desa_from_file,
+        write_desa,
+        write_desa_distributed,
+    )
+
+    text = rand_dna(9001, seed=31)
+    path = tmp_path / "corpus.bin"
+    path.write_bytes(text)
+    pats = [text[0:6], text[100:120], b"nope", text[5000:5007]]
+    sa = suffix_array_np(text)
+
+    idx = build_desa(text, mesh=mesh8)
+    want = idx.bulk_locate(pats)
+    idx2 = build_desa_from_file(str(path), mesh=mesh8)
+    got = idx2.bulk_locate(pats)
+    np.testing.assert_array_equal(got, want)
+
+    write_desa(idx, str(tmp_path / "a"))
+    write_desa_distributed(idx2, str(tmp_path / "b"))
+    for suffix in (".sa64", ".lcp64", ".lc64", ".alpha"):
+        a = (tmp_path / ("a" + suffix)).read_bytes()
+        b = (tmp_path / ("b" + suffix)).read_bytes()
+        assert a == b, f"distributed write differs for {suffix}"
+
+    idx3 = read_desa_from_file(str(path), str(tmp_path / "b"), mesh=mesh8)
+    got3 = idx3.bulk_locate(pats)
+    np.testing.assert_array_equal(got3, want)
+    check_patterns(idx3, text, sa, pats)
+
+
+def test_construct_lc_config_wired(mesh8):
+    """``SAConfig.construct_lc`` triggers Lc computation in
+    ``construct_device`` (VERDICT r4: it was a dead knob)."""
+    import dataclasses
+
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_array import (
+        compute_lc_device,
+        construct_device,
+        encode_and_shard,
+    )
+
+    text = rand_dna(2000, seed=8)
+    conf = dataclasses.replace(cfg.DEFAULT, construct_lc=True)
+    xs, alpha, n, N = encode_and_shard(text, mesh8)
+    dsa = construct_device(xs, alpha, n, N, mesh8, conf)
+    assert dsa.lc is not None
+    import jax
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(dsa.lc)),
+        np.asarray(jax.device_get(compute_lc_device(dsa, xs))))
+    dsa0 = construct_device(xs, alpha, n, N, mesh8)
+    assert dsa0.lc is None

@@ -160,6 +160,22 @@ for pat, (l, r) in zip(pats, ranges):
               if text[i:i + len(pat)] == pat)
     assert r - l == occ, (pat, l, r, occ)
 print(f"proc {pid}: multiprocess DESA bulk_locate OK")
+
+# ---- staged DESA build from file (O(n/p) host bytes per process) ---------
+# + distributed per-process artifact write -> staged reload
+from psac_tpu.models.desa import (build_desa_from_file, read_desa_from_file,
+                                  write_desa_distributed)
+
+idx2 = build_desa_from_file(corpus, mesh=mesh)
+got2 = idx2.bulk_locate(pats)
+assert [tuple(x) for x in got2] == [tuple(x) for x in ranges], "staged DESA"
+dpre = os.path.join(sdir, "desa_art")
+write_desa_distributed(idx2, dpre)
+multihost_utils.sync_global_devices("after-desa-write")
+idx3 = read_desa_from_file(corpus, dpre, mesh=mesh)
+got3 = idx3.bulk_locate(pats)
+assert [tuple(x) for x in got3] == [tuple(x) for x in ranges], "DESA reload"
+print(f"proc {pid}: staged DESA build+IO OK")
 """
 
 
@@ -191,3 +207,4 @@ def test_two_process_gsa_st_desa_io(tmp_path):
         assert f"proc {i}: distributed write->reload OK" in outs[i]
         assert f"proc {i}: multiprocess GSA+GST OK" in outs[i]
         assert f"proc {i}: multiprocess DESA bulk_locate OK" in outs[i]
+        assert f"proc {i}: staged DESA build+IO OK" in outs[i]

@@ -109,3 +109,76 @@ def test_st_64mib_byte_text_shapes(mesh8):
     arr = jax.ShapeDtypeStruct((N,), jnp.int32)
     nodes, ovf = jax.eval_shape(fn, arr, arr, arr)
     assert nodes.shape == (N * (sigma + 1),) and nodes.dtype == jnp.int32
+
+
+def test_st_int64_build(mesh8):
+    """force_int64 suffix trees (int64 node ids / node table — the
+    reference's index_t-addressed table, include/suffix_tree.hpp:479) must
+    be bit-identical to the int32 build at testable sizes."""
+    import dataclasses
+
+    from psac_tpu import config as cfg
+    from psac_tpu.models.suffix_tree import build_suffix_tree
+
+    conf64 = dataclasses.replace(cfg.DEFAULT, force_int64=True)
+    for text in [rand_dna(3001, seed=42), b"abc" * 300]:
+        want = expected_tree(text)
+        got = build_suffix_tree(text, mesh=mesh8, config=conf64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_st_int64_2pow31_shapes(mesh8):
+    """eval_shape proof at 2^31 chars: the int64 ST program (node ids reach
+    2n-1 > 2^31) traces with an int64 node table over an 8-shard mesh —
+    the regime BASELINE config #5's 3 GB tree tier needs (the former hard
+    int32 node ids silently overflowed here)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from psac_tpu.models.suffix_array import _x64_ctx
+    from psac_tpu.models.suffix_tree import _gst_local, _st_local
+    from psac_tpu.parallel.mesh import AXIS
+
+    N = 1 << 31
+    p = 8
+    s = N // p
+    sigma = 4
+    with _x64_ctx(jnp.int64):
+        fn = jax.shard_map(
+            functools.partial(_st_local, s=s, p=p, n=N - 5, sigma=sigma,
+                              capscale=6),
+            mesh=mesh8, in_specs=(P(AXIS),) * 3, out_specs=(P(AXIS), P()))
+        a64 = jax.ShapeDtypeStruct((N,), jnp.int64)
+        a32 = jax.ShapeDtypeStruct((N,), jnp.int32)
+        nodes, ovf = jax.eval_shape(fn, a64, a64, a32)
+        assert nodes.shape == (N * (sigma + 1),) and nodes.dtype == jnp.int64
+        # GST: sigma+2 slots, eos in the index dtype
+        gfn = jax.shard_map(
+            functools.partial(_gst_local, s=s, p=p, n=N - 5, sigma=sigma,
+                              dlr_cap=1 << 16, capscale=6),
+            mesh=mesh8, in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS), P()))
+        gnodes, govf = jax.eval_shape(gfn, a64, a64, a32, a64)
+        assert gnodes.shape == (N * (sigma + 2),)
+        assert gnodes.dtype == jnp.int64
+
+
+def test_gst_int64_build(mesh8):
+    """force_int64 GST bit-identical to the int32 build."""
+    import dataclasses
+
+    from psac_tpu import config as cfg
+    from psac_tpu.models.gsa import build_gsa_device
+    from psac_tpu.models.suffix_tree import construct_gst_device
+
+    from test_gsa import gst_expected
+
+    parts = [b"banana", b"ananas", b"ban", b"nan" * 7, b"a"]
+    conf64 = dataclasses.replace(cfg.DEFAULT, force_int64=True)
+    dgsa = build_gsa_device(parts, mesh=mesh8, config=conf64)
+    import jax.numpy as jnp
+    assert jnp.dtype(dgsa.sa.dtype) == jnp.int64
+    got = construct_gst_device(dgsa).materialize()
+    np.testing.assert_array_equal(got, gst_expected(parts))
