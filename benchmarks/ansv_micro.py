@@ -51,7 +51,10 @@ def main():
     text = rand_dna(n, seed=7)
     xs, alpha, n_, N = encode_and_shard(text, mesh)
     dsa = construct_device(xs, alpha, n_, N, mesh)
-    lcp = jax.jit(lambda a: a + 0)(dsa.lcp)  # unshard for pallas_call
+    # pallas_call outside shard_map rejects mesh-sharded operands: re-put
+    # the LCP unsharded on the single device
+    lcp = jax.device_put(np.asarray(jax.device_get(dsa.lcp)),
+                         jax.devices()[0])
     jax.device_get(lcp[:4])
     print(f"[ansv_micro] n={n} N={N}", flush=True)
 

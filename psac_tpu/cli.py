@@ -212,29 +212,63 @@ def cmd_benchmark_k(args) -> int:
 
 
 def cmd_benchmark_ansv(args) -> int:
-    """ANSV timing on synthetic inputs (reference src/benchmark_ansv.cpp)."""
-    from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
+    """ANSV timing: engines x inputs x type combos (the reference sweeps 6
+    impls x 3 inputs, src/benchmark_ansv.cpp:38-171; here the impl axis is
+    the single-shard engine — scan / block / hybrid / spine — selected per
+    call via PSAC_NSV, plus the p>1 routed pipeline when the mesh has
+    several shards)."""
+    import os
+
+    import jax
+
+    from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_EQ, NEAREST_SM
     from psac_tpu.parallel.ansv import ansv
     from psac_tpu.parallel.mesh import num_shards
 
     rng = np.random.RandomState(args.seed)
     n = args.n
-    if args.input == "uniform":
-        a = rng.randint(0, n, size=n).astype(np.int32)
-    elif args.input == "peaks":
-        a = (np.abs(np.arange(n) % 1000 - 500)).astype(np.int32)
-    else:  # bitonic
+    inputs = {}
+    if args.input in ("uniform", "all"):
+        inputs["uniform"] = rng.randint(0, n, size=n).astype(np.int32)
+    if args.input in ("peaks", "all"):
+        inputs["peaks"] = (np.abs(np.arange(n) % 1000 - 500)).astype(np.int32)
+    if args.input in ("bitonic", "all"):
         h = n // 2
-        a = np.concatenate([np.arange(h), np.arange(n - h)[::-1]]).astype(np.int32)
+        inputs["bitonic"] = np.concatenate(
+            [np.arange(h), np.arange(n - h)[::-1]]).astype(np.int32)
     mesh = _mesh(args)
-    ansv(a, NEAREST_SM, NEAREST_SM, mesh=mesh)  # warm-up
-    for name, (lt, rt) in [("sm-sm", (NEAREST_SM, NEAREST_SM)),
-                           ("feq-sm", (FURTHEST_EQ, NEAREST_SM))]:
-        t0 = time.time()
-        for _ in range(args.reps):
-            ansv(a, lt, rt, mesh=mesh)
-        print(f"{n};{num_shards(mesh)};{name};"
-              f"{(time.time() - t0) / args.reps * 1000:.2f}")
+    p = num_shards(mesh)
+    if args.engines:
+        engines = args.engines.split(",")
+    elif jax.default_backend() == "tpu" and p == 1:
+        engines = ["hybrid", "scan", "block", "spine"]
+    else:
+        engines = [os.environ.get("PSAC_NSV", "")]
+    combos = [("sm-sm", (NEAREST_SM, NEAREST_SM)),
+              ("feq-sm", (FURTHEST_EQ, NEAREST_SM)),
+              ("eq-eq", (NEAREST_EQ, NEAREST_EQ))]
+    old = os.environ.get("PSAC_NSV")
+    try:
+        for eng in engines:
+            if eng:
+                os.environ["PSAC_NSV"] = eng
+            elif "PSAC_NSV" in os.environ:
+                del os.environ["PSAC_NSV"]
+            for iname, a in inputs.items():
+                for cname, (lt, rt) in combos:
+                    if eng == "spine" and cname != "feq-sm":
+                        continue  # spine engine serves only the ST pass
+                    ansv(a, lt, rt, mesh=mesh)  # warm-up + compile
+                    t0 = time.time()
+                    for _ in range(args.reps):
+                        ansv(a, lt, rt, mesh=mesh)
+                    print(f"{n};{p};{eng or 'default'};{iname};{cname};"
+                          f"{(time.time() - t0) / args.reps * 1000:.2f}")
+    finally:
+        if old is None:
+            os.environ.pop("PSAC_NSV", None)
+        else:
+            os.environ["PSAC_NSV"] = old
     return 0
 
 
@@ -378,8 +412,12 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("benchmark-ansv")
     s.add_argument("-n", type=int, default=1 << 20)
-    s.add_argument("-i", "--input", choices=["uniform", "peaks", "bitonic"],
-                   default="uniform")
+    s.add_argument("-i", "--input",
+                   choices=["uniform", "peaks", "bitonic", "all"],
+                   default="all")
+    s.add_argument("--engines", default=None,
+                   help="comma list of PSAC_NSV engines to sweep "
+                        "(default: hybrid,scan,block,spine on a 1-chip TPU)")
     s.add_argument("--reps", type=int, default=3)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--devices", type=int, default=None)

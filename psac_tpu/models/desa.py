@@ -590,7 +590,16 @@ def _tli_lookup(mat, lens, table, k: int, bits: int):
 
 
 #: Active-set compaction rungs of the blind search: batch-width divisors.
+#: Overridable for A/B runs via PSAC_DESA_RUNGS="2,8,64" (benchmarks).
 _COMPACT_RUNGS = (8, 64)
+
+
+def _compact_rungs() -> tuple:
+    import os
+    spec = os.environ.get("PSAC_DESA_RUNGS")
+    if not spec:
+        return _COMPACT_RUNGS
+    return tuple(int(v) for v in spec.split(","))
 
 
 def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
@@ -727,7 +736,7 @@ def _blind_search(pat, lens, l0, r0, need, sa_slab, lcp_slab, lc_slab, rmq,
                         state)
 
     widths = []
-    for dv in _COMPACT_RUNGS:
+    for dv in _compact_rungs():
         w = max(256, _pow2ceil(-(-M // dv)))
         if w < M and (not widths or w < widths[-1]):
             widths.append(w)

@@ -82,17 +82,19 @@ def _flush_regs(st_v, st_a, carry, typ: int):
 
 
 def _one_elem(x_ref, idx_ref, val_ref, st_v, st_a,
-              base, j, typ: int, carry, vz):
+              base, j, typ: int, carry, vz, g_ref=None):
     """One scan step with the top (and, for nearest_sm, the below) stack
     cell register-resident; the hot path does ZERO SMEM loads (pops reload
-    from SMEM; pushes flush the displaced cell)."""
+    from SMEM; pushes flush the displaced cell).  With ``g_ref`` the
+    element's global index comes from an explicit index stream (the spine
+    variant) instead of ``base + j``."""
     below = _needs_below(typ)
     if below:
         sp, tv, ta, bv, ba, ovf = carry
     else:
         sp, tv, ta, ovf = carry
     v = x_ref[0, 0, j] + vz
-    gi = base + j + vz
+    gi = (base + j + vz) if g_ref is None else (g_ref[0, 0, j] + vz)
 
     # ---- pop runs with value > v -----------------------------------------
     if below:
@@ -247,6 +249,94 @@ def _dual_kernel(x_ref, xr_ref, il_ref, vl_ref, ir_ref, vr_ref, flag_ref,
     @pl.when(c == nchunks - 1)
     def _():
         flag_ref[0] = sp_ref[1] | sp_ref[3]
+
+
+def _spine_kernel(xf_ref, gf_ref, xn_ref, gn_ref,
+                  fi_ref, fv_ref, fh_ref, ni_ref, nv_ref, flag_ref,
+                  lv, la, rv, ra, sp_ref, *, nchunks: int):
+    """Spine variant of the dual kernel (the tile-spine engine's scalar
+    phase, ``psac_tpu.ops.tansv``): a FURTHEST_EQ chain over explicit
+    (value, global-index) stream 1 interleaved with a NEAREST_SM chain
+    over stream 2.  The FEQ chain additionally emits each element's
+    post-process run FIRST (h = leftmost visible equal including self),
+    which the tile engine reads at jstar for its case-3 answers.  Padding
+    entries (value = +inf) pop nothing, merge into one top run, and are
+    popped by the next real element — they cost scan time but never
+    corrupt real answers."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        sp_ref[0] = 0
+        sp_ref[1] = 0
+        sp_ref[2] = 0
+        sp_ref[3] = 0
+
+    vz = xf_ref[0, 0, 0] * 0
+
+    def body2(k, carry):
+        cl, cr = carry
+        j0 = k * 2
+        for u in range(2):
+            j = j0 + u
+            cl = _one_elem(xf_ref, fi_ref, fv_ref, lv, la, 0, j,
+                           FURTHEST_EQ, cl, vz, g_ref=gf_ref)
+            fh_ref[0, 0, j] = cl[2]  # run first after merge/push
+            cr = _one_elem(xn_ref, ni_ref, nv_ref, rv, ra, 0, j,
+                           NEAREST_SM, cr, vz, g_ref=gn_ref)
+        return (cl, cr)
+
+    cl, cr = lax.fori_loop(
+        0, CHUNK // 2, body2,
+        (_load_regs(lv, la, sp_ref[0], sp_ref[1], vz, FURTHEST_EQ),
+         _load_regs(rv, ra, sp_ref[2], sp_ref[3], vz, NEAREST_SM)))
+    _flush_regs(lv, la, cl, FURTHEST_EQ)
+    _flush_regs(rv, ra, cr, NEAREST_SM)
+    sp_ref[0] = cl[0]
+    sp_ref[1] = cl[-1]
+    sp_ref[2] = cr[0]
+    sp_ref[3] = cr[-1]
+
+    @pl.when(c == nchunks - 1)
+    def _():
+        flag_ref[0] = sp_ref[1] | sp_ref[3]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def nsv_scan_spine(xf, gf, xn, gn, interpret: bool = False, vma: tuple = ()):
+    """Run-stack scan over two compacted spine streams (see
+    ``_spine_kernel``): FURTHEST_EQ left matches of stream (xf, gf) and
+    NEAREST_SM left matches of stream (xn, gn), with answers expressed in
+    the streams' explicit global indices.
+
+    Returns (f_idx, f_val, f_h, n_idx, n_val, overflow); idx = -1 when no
+    match; f_h = the FEQ element's own run head (leftmost visible equal,
+    itself if none).
+    """
+    s = xf.shape[0]
+    assert s % CHUNK == 0, s
+    nchunks = s // CHUNK
+
+    def shape(a):
+        return a.reshape(nchunks, 1, CHUNK)
+
+    sblk = pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0),
+                        memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        functools.partial(_spine_kernel, nchunks=nchunks),
+        grid=(nchunks,),
+        in_specs=[sblk] * 4,
+        out_specs=[sblk] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.int32,
+                                        vma=frozenset(vma))] * 5
+        + [jax.ShapeDtypeStruct((1,), jnp.int32, vma=frozenset(vma))],
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)] * 4
+        + [pltpu.SMEM((4,), jnp.int32)],
+        interpret=interpret,
+    )(shape(xf), shape(gf), shape(xn), shape(gn))
+    fi, fv, fh, ni, nv, flag = outs
+    return (fi.reshape(s), fv.reshape(s), fh.reshape(s),
+            ni.reshape(s), nv.reshape(s), flag[0])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))

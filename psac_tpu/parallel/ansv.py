@@ -260,23 +260,41 @@ def _left_match_local_only(x, s: int, typ: int):
 def _engine() -> str:
     """Single-shard ANSV engine selection (``PSAC_NSV`` env):
 
-    - ``scan`` (TPU default): the Pallas run-stack scalar kernel — the
-      dual-direction variant answers BOTH sides' (furthest_eq, nearest_sm)
-      in one pass (~1.2 s at 16M), which beats the block engine's two
-      passes + head table (~2.4 s measured end-to-end at 16M LCP input).
+    - ``hybrid`` (TPU default, round 5): the suffix tree's (furthest_eq,
+      nearest_sm) pass runs on the tile-spine engine
+      (``psac_tpu.ops.tansv``: in-tile VPU all-pairs + the scalar scan
+      over run-compressed weak-minima spines — 0.35 s at 16M vs the dual
+      scan's 1.07 s); other combos dispatch per side — nearest_sm /
+      nearest_eq on the blocked vectorized engine (~0.21 s), furthest_eq
+      on the Pallas run-stack scan (~0.53 s).
+    - ``spine``: force the tile-spine engine for the ST pass (same as
+      hybrid there); other combos as hybrid.
+    - ``scan``: the Pallas run-stack scalar kernel — the dual-direction
+      variant answers BOTH sides in one pass (the r4 default; the dual
+      pass costs exactly the sum of two single passes, so replacing the
+      cheap-side chain with VPU work strictly wins).
     - ``block`` (default off-TPU): the blocked vectorized engine
-      (``psac_tpu.ops.bansv``) — VPU all-pairs compares + the
-      (PSV, value)-group head table; no scalar loops, any backend.
+      (``psac_tpu.ops.bansv``) for every type — furthest_eq pays a
+      (PSV, value)-group head table (~0.99 s at 16M: 3-key sort + two
+      16M sorts/gathers), so it loses to the scan for that type on TPU.
     - ``walk``: the hierarchical-window walks (the multi-shard fallback
       engine; ~7 random row-gathers per element at ~50GB/s).
     """
     import os
-    dflt = "scan" if jax.default_backend() == "tpu" else "block"
+    dflt = "hybrid" if jax.default_backend() == "tpu" else "block"
     return os.environ.get("PSAC_NSV", dflt)
 
 
 def _use_scan() -> bool:
-    return _engine() == "scan" and jax.default_backend() == "tpu"
+    return (_engine() in ("scan", "hybrid", "spine")
+            and jax.default_backend() == "tpu")
+
+
+def _scan_side(typ: int) -> bool:
+    """Does this match type run on the scalar scan under the hybrid engine?
+    (furthest_eq: the blocked head table costs ~2x the scan; the nearest
+    types are pure block_psv passes at ~0.4x.)"""
+    return _engine() == "scan" or typ == FURTHEST_EQ
 
 
 def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
@@ -313,7 +331,9 @@ def _dual_match_p1(x, s: int, typ_l: int, typ_r: int):
 def _left_match_p1(x, s: int, typ: int):
     """Single-shard one-side fast path (see ``_engine``)."""
     idt = x.dtype
-    if _engine() == "block":
+    eng = _engine()
+    if eng == "block" or (eng in ("hybrid", "spine")
+                          and typ != FURTHEST_EQ):
         from psac_tpu.ops.bansv import nsv_left
 
         idx, val = nsv_left(x, typ)
@@ -370,8 +390,42 @@ def ansv_local(x_l, s: int, p: int, left_type: int, right_type: int,
     retry with a larger capscale — results are incomplete).
     """
     # the Pallas run-stack kernel is int32-only; wider values (int64 LCP
-    # arrays of >= 2^31-char texts) take the dtype-generic walk path
-    if p == 1 and _use_scan() and x_l.dtype == jnp.int32:
+    # arrays of >= 2^31-char texts) take the dtype-generic walk path.
+    # The one-pass dual kernel only pays when BOTH sides would run on the
+    # scan; under the hybrid engine a nearest-type side runs on the block
+    # engine instead (per-side dispatch in _left_match_p1).
+    # (the spine path is TPU-only: interpret-mode pallas_call inside
+    # shard_map trips a jax vma check; CPU coverage is direct-call tests.
+    # It serves the suffix-tree pass under the default hybrid engine:
+    # 0.35 s at 16M vs the dual scan's 1.07 s / per-side hybrid's 0.86 s)
+    eng = _engine()
+    if (p == 1 and eng in ("hybrid", "spine")
+            and jax.default_backend() == "tpu"
+            and x_l.dtype == jnp.int32
+            and left_type == FURTHEST_EQ and right_type == NEAREST_SM
+            and s % 2048 == 0):
+        from psac_tpu.ops.tansv import tansv_feq_nsm
+
+        li0, lv0, ri0, rv0, tovf = tansv_feq_nsm(x_l, s, (AXIS,), False)
+
+        def spine_res(_):
+            return (jnp.where(li0 < 0, NONSV, li0),
+                    jnp.where(li0 < 0, 0, lv0),
+                    jnp.where(ri0 < 0, NONSV, ri0),
+                    jnp.where(ri0 < 0, 0, rv0))
+
+        def dual_res(_):
+            if jax.default_backend() != "tpu":
+                li, lv_ = _left_match_local_only(x_l, s, left_type)
+                ri, rv_ = _left_match_local_only(x_l[::-1], s, right_type)
+                return li, lv_, ri, rv_
+            return _dual_match_p1(x_l, s, left_type, right_type)
+
+        lidx, lval, ridx_r, rval_r = lax.cond(tovf == 0, spine_res,
+                                              dual_res, None)
+        ovf = jnp.int32(0)
+    elif (p == 1 and _use_scan() and x_l.dtype == jnp.int32
+            and _scan_side(left_type) and _scan_side(right_type)):
         lidx, lval, ridx_r, rval_r = _dual_match_p1(
             x_l, s, left_type, right_type)
         ovf = jnp.int32(0)
@@ -434,7 +488,7 @@ def ansv(arr, left_type: int = NEAREST_SM, right_type: int = NEAREST_SM,
         xs = jax.device_put(xp, block_sharding(mesh))
         for capscale in (4, None):
             key = (mesh_key(mesh), N, left_type, right_type, capscale,
-                   np.dtype(dt).name)
+                   np.dtype(dt).name, _engine())
             if key not in _JIT_CACHE:
                 fn = jax.shard_map(
                     functools.partial(ansv_local, s=s, p=p,

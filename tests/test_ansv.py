@@ -307,3 +307,124 @@ def test_local_indexing(mesh8, lt, rt):
         np.testing.assert_array_equal(rank[~miss] * s + loc[~miss],
                                       want[~miss])
         np.testing.assert_array_equal(val[~miss], a[want[~miss]])
+
+
+def _tansv_cases():
+    rng = np.random.RandomState(11)
+    T = 512
+    cases = {
+        "random_small_alpha": rng.randint(0, 7, 4096).astype(np.int32),
+        "random_wide": rng.randint(0, 100000, 2048).astype(np.int32),
+        "all_equal": np.full(2048, 5, np.int32),
+        "tile_edge_runs": np.tile(
+            np.repeat(np.arange(8, dtype=np.int32), T // 2)[:T], 8)[:4096],
+        "sawtooth": (np.arange(4096, dtype=np.int32) % 37),
+        "two_level_runs": np.where(np.arange(4096) % T < 3, 1, 2
+                                   ).astype(np.int32),
+    }
+    # runs straddling tile edges exactly: value drops 1 position past each
+    # boundary so the run head is in the previous tile
+    x = np.full(4096, 9, np.int32)
+    x[T + 1::T] = 4
+    cases["straddle"] = x
+    return cases
+
+
+@pytest.mark.parametrize("name", sorted(_tansv_cases()))
+def test_tansv_vs_oracle(name):
+    """Tile-spine engine (ops/tansv) vs the sequential oracle on adversarial
+    tile-boundary inputs (VERDICT r4 item 1: runs straddling tile edges,
+    all-equal tiles), in interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.tansv import tansv_feq_nsm
+
+    a = _tansv_cases()[name]
+    n = len(a)
+    want_l, want_r = ansv_seq(a, FURTHEST_EQ, NEAREST_SM, nonsv=NONSV)
+    li, lv, ri_r, rv_r, ovf = jax.jit(
+        tansv_feq_nsm, static_argnums=(1, 2, 3))(jnp.asarray(a), n, (), True)
+    assert int(ovf) == 0, f"unexpected spine overflow for {name}"
+    got_l = np.asarray(li).astype(np.int64)
+    got_l[got_l < 0] = NONSV
+    got_r = np.asarray(ri_r).astype(np.int64)
+    got_r = np.where(got_r < 0, NONSV, n - 1 - got_r)[::-1]
+    np.testing.assert_array_equal(got_l, want_l, err_msg=name)
+    np.testing.assert_array_equal(got_r, want_r, err_msg=name)
+    # values at the matches
+    lv = np.asarray(lv)
+    has = got_l != NONSV
+    np.testing.assert_array_equal(lv[has], a[got_l[has]], err_msg=name)
+
+
+def test_tansv_overflow_flag():
+    """A strictly decreasing array makes every element a chain element;
+    the spine exceeds s//CAPDIV and the engine must report overflow (the
+    caller falls back to the full scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.tansv import tansv_feq_nsm
+
+    a = np.arange(4096, 0, -1).astype(np.int32)
+    *_, ovf = jax.jit(tansv_feq_nsm, static_argnums=(1, 2, 3))(
+        jnp.asarray(a), len(a), (), True)
+    assert int(ovf) > 0
+
+
+def test_spine_engine_off_tpu_gate(monkeypatch, mesh1):
+    """PSAC_NSV=spine on a non-TPU backend must take the fallback paths
+    (the spine branch is TPU-only: interpret-mode pallas inside shard_map
+    trips a jax vma check) and still answer correctly."""
+    from psac_tpu.parallel import ansv as pansv
+
+    monkeypatch.setenv("PSAC_NSV", "spine")
+    pansv._JIT_CACHE.clear()
+    rng = np.random.RandomState(13)
+    try:
+        for a in (rng.randint(0, 9, 2048).astype(np.int32),
+                  np.arange(2048, 0, -1).astype(np.int32)):
+            n = len(a)
+            want_l, want_r = ansv_seq(a, FURTHEST_EQ, NEAREST_SM, nonsv=n)
+            got_l, got_r = pansv.ansv(a, FURTHEST_EQ, NEAREST_SM, mesh=mesh1)
+            np.testing.assert_array_equal(got_l, want_l)
+            np.testing.assert_array_equal(got_r, want_r)
+    finally:
+        pansv._JIT_CACHE.clear()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tansv_randomized(seed):
+    """Randomized tansv-vs-oracle sweep over run-heavy distributions,
+    including a real LCP array (repetitive text — long equal runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psac_tpu.ops.oracle import lcp_kasai, suffix_array_np
+    from psac_tpu.ops.tansv import tansv_feq_nsm
+
+    rng = np.random.RandomState(seed + 50)
+    cases = [rng.randint(0, 3, 4096).astype(np.int32),
+             np.repeat(rng.randint(0, 5, 64), 64).astype(np.int32)[:4096]]
+    text = bytes(rng.randint(97, 100, 600).astype(np.uint8)) * 8
+    sa = suffix_array_np(text)
+    lcp = lcp_kasai(text, sa).astype(np.int32)
+    cases.append(np.concatenate(
+        [lcp, np.zeros(4096 - len(lcp) % 4096, np.int32)])[:4096]
+        if len(lcp) < 4096 else lcp[:4096])
+    fn = jax.jit(tansv_feq_nsm, static_argnums=(1, 2, 3))
+    for a in cases:
+        n = len(a)
+        want_l, want_r = ansv_seq(a, FURTHEST_EQ, NEAREST_SM, nonsv=NONSV)
+        li, lv, ri_r, rv_r, ovf = fn(jnp.asarray(a), n, (), True)
+        assert int(ovf) == 0
+        got_l = np.asarray(li).astype(np.int64)
+        got_l[got_l < 0] = NONSV
+        got_r = np.asarray(ri_r).astype(np.int64)
+        got_r = np.where(got_r < 0, NONSV, n - 1 - got_r)[::-1]
+        np.testing.assert_array_equal(got_l, want_l)
+        np.testing.assert_array_equal(got_r, want_r)
+        has_r = want_r != NONSV
+        rv = np.asarray(rv_r)[::-1]
+        np.testing.assert_array_equal(rv[has_r], a[want_r[has_r]])
