@@ -77,6 +77,15 @@ class SAConfig:
     # LCP-resolve chunk divisor of the fused path: chunk = s / resolve_div
     # (measured on the 16 MiB repetitive corpus: 32 beats 16/8/4)
     resolve_div: int = 32
+    # pack pairs of 31-bit sort-key columns into int64 lanes in the wide
+    # (>= 6 column) dense sorts — the round-5 built-and-measured attempt on
+    # the dense-sort wall.  An ISOLATED 6-operand sort wins 32% (a 64-bit
+    # sort lane costs the same as a 32-bit lane, benchmarks/sort_micro.py:
+    # 663 -> 453 ms at 2^26), but on the full adversarial pipeline the
+    # required x64 trace context + pack/unpack passes give it all back
+    # (100 MB text tier, F=5: 15.12 s unpacked vs 15.35 s packed), so the
+    # default is OFF; the knob + parity test remain for other shapes
+    pack_keys: bool = False
     # int32 words of the initial k-mer ranking (the reference packs ONE
     # machine word, include/kmer.hpp:25-40; more words deepen the initial
     # rank — 3 words = 30 chars for DNA, 12 for byte text — saving a dense

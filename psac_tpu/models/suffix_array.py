@@ -123,7 +123,7 @@ class _Builder:
     """Holds the mesh geometry and the jitted construction steps."""
 
     def __init__(self, mesh, N: int, ks: tuple[int, ...], bits: int,
-                 with_lcp: bool, idt=jnp.int32):
+                 with_lcp: bool, idt=jnp.int32, pack: bool = False):
         self.mesh = mesh
         self.p = num_shards(mesh)
         self.N = N
@@ -136,6 +136,9 @@ class _Builder:
         # while kmer words, shard ids and in-shard offsets stay int32
         self.idt = idt
         self.INF = jnp.iinfo(idt).max
+        # pack pairs of 31-bit sort keys into int64 lanes (int32 builds
+        # only; needs an x64-enabled trace — construct_device arranges it)
+        self.pack = bool(pack) and jnp.dtype(idt) == jnp.int32
         self.sharded = NamedSharding(mesh, P(AXIS))
         self._step_cache: dict[int, object] = {}
         self._resolve_cache: dict[int, object] = {}
@@ -149,6 +152,48 @@ class _Builder:
             in_specs=(x, r),
             out_specs=(x, x) + ((x,) if with_lcp else ()) + (x, x) + (r, r),
         ))
+
+    # ---------------- shared sort front end ----------------
+
+    def _sort_keys(self, cols, gidx, p):
+        """Distributed sort by (cols..., gidx); returns (sorted_cols, sa).
+
+        Packed-key mode: pairs of the 31-bit nonnegative int32 key columns
+        ride ONE int64 sort lane, with ``gidx`` packed into the final lane
+        — a 64-bit sort lane costs the same as a 32-bit lane on this chip
+        (benchmarks/sort_micro.py at 2^26: 5-key+payload 663 ms, packed
+        3-lane 453 ms; 1-key int32 281 ms vs 1-key int64 284 ms), so
+        packing nearly halves the dense sort, the wall the reference also
+        names (``mxx::sort`` dominance).  Columns are recovered exactly by
+        shift/mask; lexicographic order is preserved since every column is
+        nonnegative and < 2^31.
+        """
+        seq = list(cols) + [gidx]
+        # measured threshold: at 3-5 columns the pack/unpack passes and the
+        # int64 comparator eat the lane saving (2^26 DNA: 0.605 s unpacked
+        # vs 0.634 s packed); at 6 columns (the F=5 dense iteration,
+        # benchmarks/sort_micro.py) packing wins 663 -> 453 ms
+        if not self.pack or len(seq) < 6:
+            ops = dist_sort_local(tuple(seq), num_keys=len(seq), p=p)
+            return ops[:-1], ops[-1]
+        i64 = jnp.int64
+        lanes = []
+        for k in range(0, len(seq) - 1, 2):
+            lanes.append((seq[k].astype(i64) << 32) | seq[k + 1].astype(i64))
+        odd = len(seq) % 2
+        if odd:
+            # the trailing key stays int32: an int64 lane for one 31-bit
+            # key adds 4 bytes/element of sort traffic for nothing
+            lanes.append(seq[-1])
+        lanes = dist_sort_local(tuple(lanes), num_keys=len(lanes), p=p)
+        mask = (1 << 32) - 1
+        out = []
+        for lane in (lanes[:-1] if odd else lanes):
+            out.append((lane >> 32).astype(jnp.int32))
+            out.append((lane & mask).astype(jnp.int32))
+        if odd:
+            out.append(lanes[-1])
+        return tuple(out[:-1]), out[-1]
 
     # ---------------- init: k-mer ranking ----------------
 
@@ -169,10 +214,7 @@ class _Builder:
         # global end, so N - gidx < 2^31 on those lanes (others discarded)
         pad_rank = (jnp.asarray(N, idt) - gidx).astype(jnp.int32)
         words = words[:-1] + (jnp.where(words[0] == 0, pad_rank, words[-1]),)
-        sorted_ops = dist_sort_local(words + (gidx,), num_keys=len(words) + 1,
-                                     p=p)
-        sa = sorted_ops[-1]
-        wsort = sorted_ops[:-1]
+        wsort, sa = self._sort_keys(words, gidx, p)
         prevs = tuple(
             jnp.concatenate([halo_from_left(w, 1, p, fill=-1), w[:-1]])
             for w in wsort)
@@ -258,8 +300,9 @@ class _Builder:
         keys = [isa_l]
         for j, qj in enumerate(qs, start=1):
             keys.append(global_shift_left(isa_l, jnp.asarray(j, self.idt) * d, qj, p))
-        sorted_ops = dist_sort_local(tuple(keys) + (gidx,), num_keys=len(keys), p=p)
-        sa = sorted_ops[-1]
+        sorted_ops = self._sort_keys(tuple(keys), gidx, p)
+        sa = sorted_ops[1]
+        sorted_ops = sorted_ops[0] + (sa,)
         newb = jnp.zeros((s,), jnp.bool_)
         for ks in sorted_ops[:-1]:
             prev = jnp.concatenate([halo_from_left(ks, 1, p, fill=-1), ks[:-1]])
@@ -283,7 +326,7 @@ class _Builder:
             (d,) = rest
         b2 = self._shift(isa_l, d, q)
         gidx = (global_index_base(s) + jnp.arange(s, dtype=jnp.int32)).astype(self.idt)
-        b_s, b2_s, sa = dist_sort_local((isa_l, b2, gidx), num_keys=3, p=p)
+        (b_s, b2_s), sa = self._sort_keys((isa_l, b2), gidx, p)
         pb = jnp.concatenate([halo_from_left(b_s, 1, p, fill=-1), b_s[:-1]])
         pb2 = jnp.concatenate([halo_from_left(b2_s, 1, p, fill=-1), b2_s[:-1]])
         newb = (b_s != pb) | (b2_s != pb2)
@@ -509,10 +552,7 @@ class _Builder:
         qcols = qs if qs is not None else (None,) * (L - 1)
         cols = [isa_l] + [self._shift(isa_l, j * d, qcols[j - 1])
                           for j in range(1, L)]
-        sorted_ops = dist_sort_local(tuple(cols) + (gidx,), num_keys=L + 1,
-                                     p=p)
-        sa = sorted_ops[-1]
-        bcols = sorted_ops[:-1]
+        bcols, sa = self._sort_keys(tuple(cols), gidx, p)
 
         def prev_of(a, fill=-1):
             return jnp.concatenate(
@@ -1067,13 +1107,16 @@ LAST_BUILD = _LastBuild()
 _BUILDER_CACHE: dict[tuple, _Builder] = {}
 
 
-def _get_builder(mesh, N, ks, bits, with_lcp, idt=jnp.int32) -> _Builder:
+def _get_builder(mesh, N, ks, bits, with_lcp, idt=jnp.int32,
+                 pack: bool = False) -> _Builder:
     """Reuse builders (and their jitted steps) across construction calls."""
-    key = (mesh_key(mesh), N, tuple(ks), bits, with_lcp, jnp.dtype(idt).name)
+    key = (mesh_key(mesh), N, tuple(ks), bits, with_lcp,
+           jnp.dtype(idt).name, pack)
     if key not in _BUILDER_CACHE:
         if len(_BUILDER_CACHE) > 64:
             _BUILDER_CACHE.clear()
-        _BUILDER_CACHE[key] = _Builder(mesh, N, ks, bits, with_lcp, idt=idt)
+        _BUILDER_CACHE[key] = _Builder(mesh, N, ks, bits, with_lcp, idt=idt,
+                                       pack=pack)
     return _BUILDER_CACHE[key]
 
 
@@ -1222,9 +1265,16 @@ def construct_device(xs, alpha, n: int, N: int, mesh,
     timer = SectionTimer(label="construct")
 
     idt = index_dtype_for(N, config)
-    with _x64_ctx(idt):
+    # packed-key sorts build int64 lanes inside an int32 build's trace,
+    # which needs a scoped x64 trace context (all other dtypes in the
+    # pipeline are explicit, so nothing else widens).  Only wide dense
+    # sorts (>= 6 key columns, i.e. factor >= 5) benefit — see _sort_keys
+    wide = max(config.dense_factor if config.fused else 2, config.factor) >= 5
+    pack = (getattr(config, "pack_keys", True) and wide
+            and jnp.dtype(idt) == jnp.int32)
+    with _x64_ctx(jnp.int64 if pack else idt):
         dsa = _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
-                                      k, ks, bits, timer)
+                                      k, ks, bits, timer, pack)
     if config.construct_lc:
         if not config.construct_lcp:
             raise ValueError("construct_lc requires construct_lcp")
@@ -1253,8 +1303,10 @@ def kmer_words_for(bits_per_char: int,
 
 
 def _construct_device_inner(xs, alpha, n, N, mesh, config, idt,
-                            k, ks, bits, timer) -> DeviceSuffixArray:
-    b = _get_builder(mesh, N, ks, bits, config.construct_lcp, idt=idt)
+                            k, ks, bits, timer,
+                            pack: bool = False) -> DeviceSuffixArray:
+    b = _get_builder(mesh, N, ks, bits, config.construct_lcp, idt=idt,
+                     pack=pack)
 
     use_fused = config.fused
     if config.construct_lcp:

@@ -54,7 +54,9 @@ def _bucket_by_dest(dest, p: int, cap: int, skip=None):
     """
     m = dest.shape[0]
     dkey = dest if skip is None else jnp.where(skip, jnp.int32(p), dest)
-    order = jnp.argsort(dkey, stable=True)
+    # explicit int32: under an x64 trace (packed-key builds) argsort would
+    # default to int64 indices and double the permute bytes
+    order = jnp.argsort(dkey, stable=True).astype(jnp.int32)
     dsort = dkey[order]
     # slot within the destination bucket = position - start of the run
     # (runs are contiguous in dsort; cummax of the run-start positions —

@@ -240,3 +240,30 @@ def test_kmer_words(mesh8, words):
         res = build_suffix_array(text, mesh=mesh8, config=conf)
         np.testing.assert_array_equal(res.sa, want)
         np.testing.assert_array_equal(res.lcp, lcp_kasai(text, want))
+
+
+def test_pack_keys_parity(mesh8, mesh1):
+    """Packed int64 sort lanes (SAConfig.pack_keys, the dense-sort-wall
+    lever measured in benchmarks/sort_micro.py) must be bit-identical to
+    the unpacked build on every path (dense factor 2/4, fused + host)."""
+    import dataclasses
+
+    from psac_tpu import config as cfg
+
+    for text in [rand_dna(4000, seed=77), b"ab" * 900 + b"ba" * 100]:
+        want_sa = suffix_array_np(text)
+        want_lcp = lcp_kasai(text, want_sa)
+        for mesh in (mesh8, mesh1):
+            for packed in (True, False):
+                # fused dense F=5 (6 key columns -> 3 packed lanes), LCP on
+                conf = dataclasses.replace(
+                    cfg.DEFAULT, dense_factor=5, pack_keys=packed)
+                res = build_suffix_array(text, mesh=mesh, config=conf)
+                np.testing.assert_array_equal(res.sa, want_sa)
+                np.testing.assert_array_equal(res.lcp, want_lcp)
+                # host-loop construct_arr<5> (SA-only, like the reference)
+                conf = dataclasses.replace(
+                    cfg.DEFAULT, fused=False, factor=5, construct_lcp=False,
+                    pack_keys=packed)
+                res = build_suffix_array(text, mesh=mesh, config=conf)
+                np.testing.assert_array_equal(res.sa, want_sa)
