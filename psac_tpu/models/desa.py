@@ -591,7 +591,11 @@ def _tli_lookup(mat, lens, table, k: int, bits: int):
 
 #: Active-set compaction rungs of the blind search: batch-width divisors.
 #: Overridable for A/B runs via PSAC_DESA_RUNGS="2,8,64" (benchmarks).
-_COMPACT_RUNGS = (8, 64)
+#: Measured at 2^27 DNA, batch 65536, best-of-3 (round 5): (8,64) gives
+#: 366/106/47 K q/s at lengths 8/20/64; (2,8,64) gives 464/124/84 K
+#: (the early M/2 rung halves the lockstep width for most of the walk);
+#: (2,4,16,64) loses the len-8 head (360K) for no len-64 gain.
+_COMPACT_RUNGS = (2, 8, 64)
 
 
 def _compact_rungs() -> tuple:
