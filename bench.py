@@ -13,7 +13,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: PSAC_BENCH_N (default 2^26), PSAC_BENCH_CORPUS
 ("dna"|"repetitive"|"text"|"textmix"|"bytes"), PSAC_BENCH_FACTOR
 (dense prefix-L-pling factor, default SAConfig.dense_factor),
-PSAC_BENCH_RESOLVE_DIV (LCP-resolve chunk divisor), PSAC_BENCH_KMER_WORDS (init k-mer words).
+PSAC_BENCH_RESOLVE_DIV (LCP-resolve chunk divisor), PSAC_BENCH_KMER_WORDS
+(init k-mer words), PSAC_BENCH_FILE (path to a real corpus file — the
+first PSAC_BENCH_N bytes are used; overrides PSAC_BENCH_CORPUS).
+
+Real-corpus recipe (BASELINE config #2 names enwik8; this box has zero
+egress, so "text"/"textmix" are deterministic in-repo stand-ins): on a
+networked machine run
+    curl -LO https://mattmahoney.net/dc/enwik8.zip && unzip enwik8.zip
+    # sha1 57b8363b814821dc9d47aa4d41f58733519076b2  (enwik8, 10^8 bytes)
+then PSAC_BENCH_FILE=enwik8 PSAC_BENCH_N=100000000 python bench.py.
 """
 
 import json
@@ -33,7 +42,11 @@ def main():
     corpus = os.environ.get("PSAC_BENCH_CORPUS", "dna")
 
     from psac_tpu.ops.alphabet import rand_dna, rep_dna
-    if corpus == "dna":
+    if os.environ.get("PSAC_BENCH_FILE"):
+        with open(os.environ["PSAC_BENCH_FILE"], "rb") as fh:
+            text = fh.read(n).replace(b"\x00", b" ")
+        n = len(text)
+    elif corpus == "dna":
         text = rand_dna(n, seed=42)
     elif corpus == "repetitive":
         text = rep_dna(n, seed=0)
