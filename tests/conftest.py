@@ -30,6 +30,10 @@ _SMOKE = {
     "test_desa.py::test_desa_mississippi": None,
     "test_seq_query.py::test_seq_index_locate": None,
     "test_samplelcp.py::test_sample_lcp_equivalence": None,
+    # round-5 features
+    "test_ansv.py::test_tansv_vs_oracle[straddle]": None,
+    "test_ansv.py::test_tansv_vs_oracle[all_equal]": None,
+    "test_desa.py::test_construct_lc_config_wired": None,
 }
 
 
