@@ -44,7 +44,11 @@ from psac_tpu.models.suffix_array import (
 )
 from psac_tpu.ops.ansv import FURTHEST_EQ, NEAREST_SM
 from psac_tpu.parallel.ansv import ansv_local, nonsv_for
-from psac_tpu.parallel.collectives import global_index_base, halo_from_right
+from psac_tpu.parallel.collectives import (
+    global_index_base,
+    halo_from_left,
+    halo_from_right,
+)
 from psac_tpu.parallel.mesh import AXIS, make_mesh, mesh_key, num_shards
 from psac_tpu.parallel.route import cap_for, route_apply, route_scatter
 
@@ -178,17 +182,31 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
     width = sigma + 2
     INF = jnp.iinfo(idt).max
 
-    # both edge blocks share sa_l as their gather index: gather once
-    vhalf = valid[:s] | valid[s:]
-    eos_half, ovf1 = _gather_from(eos_l, sa_l, vhalf, s, p, capscale)
-    eos_at = jnp.concatenate([eos_half, eos_half])
-    char_idx = savals + elcp
-    dollar = char_idx >= eos_at
-    rootdrop = elcp == 0
-    valid_reg = valid & ~dollar & ~rootdrop
-    valid_dlr = valid & dollar & ~rootdrop
+    # ``$``-edge test without an eos[SA[i]] gather: every edge has depth
+    # elcp >= 1 (rootdrop) and elcp <= eos[SA[i]] - SA[i] (GLCP never
+    # exceeds the suffix length), so char_idx = SA[i] + elcp lies in
+    # (SA[i], eos[SA[i]]] — strictly inside SA[i]'s own string unless it
+    # IS the string end.  A string end < n is the NEXT string's start, so
+    # ``$`` <=> char_idx is a string-start position (or char_idx == n).
+    # Fold a start bit into the gathered text: ONE 2s-row gather answers
+    # both the edge char and the ``$`` test (the separate s-row eos gather
+    # cost a full random-gather pass, ~170 ms at 16M on v5e).
+    g_txt = global_index_base(s).astype(idt) + jnp.arange(s, dtype=idt)
+    prev_eos = halo_from_left(eos_l, 1, p, fill=0)
+    eos_prev = jnp.concatenate([prev_eos, eos_l[:-1]])
+    is_start = (g_txt == 0) | (eos_prev == g_txt)
+    xz_l = xs_l + jnp.asarray(sigma + 1, xs_l.dtype) * is_start
 
-    ch, ovf2 = _gather_from(xs_l, char_idx, valid_reg, s, p, capscale)
+    char_idx = savals + elcp
+    rootdrop = elcp == 0
+    dollar_end = char_idx >= jnp.asarray(n, idt)
+    valid_q = valid & ~rootdrop
+    chz, ovf2 = _gather_from(xz_l, char_idx, valid_q & ~dollar_end,
+                             s, p, capscale)
+    dollar = dollar_end | (chz > sigma)
+    ch = chz  # non-$ rows carry no start bit
+    valid_reg = valid_q & ~dollar
+    valid_dlr = valid_q & dollar
 
     # slot 0 accumulates a min: initialize via an elementwise iota mask (a
     # 16M strided scatter costs ~10x one pass over the table)
@@ -223,7 +241,7 @@ def _gst_local(lcp_l, sa_l, xs_l, eos_l, *, s: int, p: int, n: int, sigma: int,
                                    with_overflow=True, width=width,
                                    slots=zero_slots + 1)
     nodes = jnp.where(slot0 & (nodes == INF), 0, nodes)
-    return nodes, ovf + ovf1 + ovf2 + ovf3 + ovf4 + ovf5 + ovf_c
+    return nodes, ovf + ovf2 + ovf3 + ovf4 + ovf5 + ovf_c
 
 
 def _check_local_table(s: int, width: int, idx_dtype) -> None:
